@@ -1,0 +1,110 @@
+"""Covisibility graph as batched reductions over the observation array.
+
+The reference maintains covisibility edges incrementally with mutexes
+(reference: KeyFrame::UpdateConnections — weight = number of shared
+MapPoints, edge kept if weight >= 15, plus best-covisible orderings).
+Here covisibility is *derived* from `kf_pt_idx` on demand with one
+matmul over observation indicators — cheap on the MXU and always
+consistent with the map (no incremental-update bugs possible).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_test_tpu.slam_map.mapstate import MapState
+
+# reference: KeyFrame::UpdateConnections threshold `th = 15`
+COVIS_THRESHOLD = 15
+
+
+def observation_counts(m: MapState) -> jax.Array:
+    """[P] — number of keyframes observing each point
+    (MapPoint::Observations())."""
+    P = m.pt_valid.shape[0]
+    linked = (m.kf_pt_idx >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    flat = jnp.where(linked, m.kf_pt_idx, P).reshape(-1)
+    counts = jnp.zeros((P,), dtype=jnp.int32).at[flat].add(1, mode="drop")
+    return counts
+
+
+def observation_indicator(m: MapState, dtype=jnp.bfloat16) -> jax.Array:
+    """[K, P] 0/1 matrix: keyframe k observes point p."""
+    K = m.kf_valid.shape[0]
+    P = m.pt_valid.shape[0]
+    linked = (m.kf_pt_idx >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    flat_pt = jnp.where(linked, m.kf_pt_idx, P)
+    ind = jnp.zeros((K, P), dtype=dtype)
+    rows = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[:, None], flat_pt.shape
+    )
+    return ind.at[rows, flat_pt].set(1.0, mode="drop")
+
+
+def covisibility_weights(
+    m: MapState, query_kf: jax.Array | None = None
+) -> jax.Array:
+    """Covisibility weight matrix.
+
+    query_kf None: [K, K] full matrix (diag zeroed).
+    query_kf [Q]:  [Q, K] rows for the query keyframes.
+
+    weight[i, j] = #points observed by both — one MXU matmul over the
+    observation indicator (bf16 accumulate in f32; counts <= N so exact).
+    """
+    ind = observation_indicator(m)
+    if query_kf is None:
+        w = jax.lax.dot_general(
+            ind, ind, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        K = w.shape[0]
+        w = w * (1.0 - jnp.eye(K, dtype=w.dtype))
+    else:
+        q = ind[query_kf]
+        w = jax.lax.dot_general(
+            q, ind, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        K = ind.shape[0]
+        same = query_kf[:, None] == jnp.arange(K)[None, :]
+        w = jnp.where(same, 0.0, w)
+    return w.astype(jnp.int32)
+
+
+def best_covisible(
+    m: MapState, kf_id: jax.Array, top_n: int
+) -> tuple[jax.Array, jax.Array]:
+    """Top-N covisible keyframes of kf_id by weight
+    (KeyFrame::GetBestCovisibilityKeyFrames).
+
+    Returns (kf_ids [top_n], weights [top_n]); entries with weight 0 are
+    padding (no such neighbor).
+    """
+    w = covisibility_weights(m, kf_id[None])[0]
+    weights, ids = jax.lax.top_k(w, top_n)
+    return jnp.where(weights > 0, ids, -1), weights
+
+
+def local_keyframes(
+    m: MapState, kf_id: jax.Array, k1: int, k2_per: int
+) -> jax.Array:
+    """Local-map keyframe set: K1 best covisible + their best covisible
+    (Tracking::UpdateLocalKeyFrames structure, capacity-bounded).
+
+    Returns a sorted unique array [k1 + k1*k2_per + 1] of keyframe ids,
+    -1-padded. Always includes kf_id itself.
+    """
+    ids1, w1 = best_covisible(m, kf_id, k1)
+    # neighbors of neighbors
+    safe_ids1 = jnp.clip(ids1, 0)
+    w2 = covisibility_weights(m, safe_ids1)  # [k1, K]
+    nw, nids = jax.lax.top_k(w2, k2_per)  # [k1, k2_per]
+    nids = jnp.where((nw > 0) & (ids1[:, None] >= 0), nids, -1)
+    all_ids = jnp.concatenate([kf_id[None], ids1, nids.reshape(-1)])
+    # unique via sort + dedup mask (fixed shape)
+    s = jnp.sort(all_ids)
+    dup = jnp.concatenate([jnp.array([False]), s[1:] == s[:-1]])
+    s = jnp.where(dup, -1, s)
+    return jnp.sort(s)[::-1]  # valid ids first, then -1 padding

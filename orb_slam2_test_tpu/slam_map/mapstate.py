@@ -1,0 +1,278 @@
+"""MapState — the SLAM map as a struct-of-arrays pytree.
+
+TPU-native replacement for the reference's pointer-graph map
+(reference: src/Map.cc registries; src/KeyFrame.cc / src/MapPoint.cc
+objects with per-object mutexes). Design rules:
+
+- Fixed capacities (max keyframes K, features-per-keyframe N, points P)
+  with validity masks instead of allocation/deletion. `SetBadFlag`
+  becomes clearing a mask bit; "new KeyFrame" writes into a free slot.
+- The primary association structure is `kf_pt_idx [K, N] int32`: feature
+  n of keyframe k observes map point kf_pt_idx[k, n] (-1 = none). This
+  is the reference's `KeyFrame::mvpMapPoints` turned into one dense
+  array; point->observation queries become segment reductions over it,
+  covisibility becomes a matmul of observation indicators.
+- All mutation is functional: ops return a new MapState. Under jit the
+  updates are donated/aliased so there is no copy in steady state.
+
+Capacities are static Python ints (MapCapacity) so every jitted program
+has static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class MapCapacity:
+    """Static capacities. Hashable -> usable as a static jit arg."""
+
+    max_keyframes: int = 512
+    max_features: int = 1000  # per keyframe (YAML ORBextractor.nFeatures)
+    max_points: int = 65536
+    n_levels: int = 8  # pyramid levels (YAML ORBextractor.nLevels)
+    scale_factor: float = 1.2  # YAML ORBextractor.scaleFactor
+
+    @property
+    def level_scales(self):
+        """sigma per level: scale_factor**level (reference
+        ORBextractor::mvScaleFactor)."""
+        import numpy as np
+
+        return np.power(self.scale_factor, np.arange(self.n_levels)).astype(
+            "float32"
+        )
+
+    @property
+    def level_sigma2(self):
+        return self.level_scales**2
+
+
+class MapState(NamedTuple):
+    """All arrays; leading dims are the static capacities.
+
+    Keyframe arrays (capacity K, features N):
+      kf_Tcw      [K, 4, 4] world->camera pose
+      kf_valid    [K]       slot in use
+      kf_timestamp[K]
+      kf_frame_id [K]       id of the source frame (for trajectory export)
+      kf_uv       [K, N, 2] undistorted keypoint pixel coords
+      kf_level    [K, N]    pyramid level of each keypoint
+      kf_angle    [K, N]    keypoint orientation (radians)
+      kf_ur       [K, N]    right-image u coordinate (stereo/RGB-D; -1 mono)
+      kf_depth    [K, N]    keypoint depth (stereo/RGB-D; -1 unknown)
+      kf_desc     [K, N, 8] 256-bit ORB descriptors packed in uint32
+      kf_kp_valid [K, N]    feature slot in use (frames yield < N features)
+      kf_pt_idx   [K, N]    map-point index observed by this feature (-1 none)
+
+    Point arrays (capacity P):
+      pt_xyz      [P, 3]
+      pt_valid    [P]
+      pt_desc     [P, 8]    distinctive descriptor (min-median-distance member)
+      pt_normal   [P, 3]    mean viewing direction
+      pt_min_dist [P]       scale-invariance range (reference
+      pt_max_dist [P]         MapPoint::UpdateNormalAndDepth)
+      pt_ref_kf   [P]       reference keyframe index
+      pt_first_kf [P]       keyframe at creation (MapPointCulling rule)
+      pt_visible  [P]       visibility counter (IncreaseVisible)
+      pt_found    [P]       found counter (IncreaseFound)
+
+    Scalars:
+      n_kf        number of live keyframes (int32)
+      n_pt        number of live points (int32)
+    """
+
+    kf_Tcw: jax.Array
+    kf_valid: jax.Array
+    kf_timestamp: jax.Array
+    kf_frame_id: jax.Array
+    kf_uv: jax.Array
+    kf_level: jax.Array
+    kf_angle: jax.Array
+    kf_ur: jax.Array
+    kf_depth: jax.Array
+    kf_desc: jax.Array
+    kf_kp_valid: jax.Array
+    kf_pt_idx: jax.Array
+    pt_xyz: jax.Array
+    pt_valid: jax.Array
+    pt_desc: jax.Array
+    pt_normal: jax.Array
+    pt_min_dist: jax.Array
+    pt_max_dist: jax.Array
+    pt_ref_kf: jax.Array
+    pt_first_kf: jax.Array
+    pt_visible: jax.Array
+    pt_found: jax.Array
+    n_kf: jax.Array
+    n_pt: jax.Array
+
+
+def make_empty_map(cap: MapCapacity) -> MapState:
+    K, N, P = cap.max_keyframes, cap.max_features, cap.max_points
+    f32, i32 = jnp.float32, jnp.int32
+    return MapState(
+        kf_Tcw=jnp.tile(jnp.eye(4, dtype=f32), (K, 1, 1)),
+        kf_valid=jnp.zeros((K,), dtype=bool),
+        kf_timestamp=jnp.zeros((K,), dtype=f32),
+        kf_frame_id=jnp.full((K,), -1, dtype=i32),
+        kf_uv=jnp.zeros((K, N, 2), dtype=f32),
+        kf_level=jnp.zeros((K, N), dtype=i32),
+        kf_angle=jnp.zeros((K, N), dtype=f32),
+        kf_ur=jnp.full((K, N), -1.0, dtype=f32),
+        kf_depth=jnp.full((K, N), -1.0, dtype=f32),
+        kf_desc=jnp.zeros((K, N, 8), dtype=jnp.uint32),
+        kf_kp_valid=jnp.zeros((K, N), dtype=bool),
+        kf_pt_idx=jnp.full((K, N), -1, dtype=i32),
+        pt_xyz=jnp.zeros((P, 3), dtype=f32),
+        pt_valid=jnp.zeros((P,), dtype=bool),
+        pt_desc=jnp.zeros((P, 8), dtype=jnp.uint32),
+        pt_normal=jnp.zeros((P, 3), dtype=f32),
+        pt_min_dist=jnp.zeros((P,), dtype=f32),
+        pt_max_dist=jnp.zeros((P,), dtype=f32),
+        pt_ref_kf=jnp.full((P,), -1, dtype=i32),
+        pt_first_kf=jnp.full((P,), -1, dtype=i32),
+        pt_visible=jnp.zeros((P,), dtype=f32),
+        pt_found=jnp.zeros((P,), dtype=f32),
+        n_kf=jnp.zeros((), dtype=i32),
+        n_pt=jnp.zeros((), dtype=i32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Slot allocation (functional replacements for `new KeyFrame` / `new MapPoint`)
+# ---------------------------------------------------------------------------
+
+
+def alloc_keyframe_slot(m: MapState) -> jax.Array:
+    """Index of the first free keyframe slot (argmin over valid mask)."""
+    return jnp.argmin(m.kf_valid.astype(jnp.int32))
+
+
+def alloc_point_slots(m: MapState, count: int) -> jax.Array:
+    """Indices of `count` free point slots (static count; top-k of ~valid).
+
+    If fewer than `count` slots are free the extra indices point at used
+    slots — callers must gate writes on the returned `ok` mask.
+    Returns (slots [count], ok [count]).
+    """
+    free = jnp.logical_not(m.pt_valid)
+    # top_k over {0,1} returns free slots first, in ascending index order
+    # within ties thanks to stable top_k on equal values.
+    vals, slots = jax.lax.top_k(free.astype(jnp.int32), count)
+    return slots, vals > 0
+
+
+def add_keyframe(
+    m: MapState,
+    Tcw: jax.Array,
+    timestamp: jax.Array,
+    frame_id: jax.Array,
+    uv: jax.Array,
+    level: jax.Array,
+    angle: jax.Array,
+    ur: jax.Array,
+    depth: jax.Array,
+    desc: jax.Array,
+    kp_valid: jax.Array,
+    pt_idx: jax.Array,
+) -> tuple[MapState, jax.Array]:
+    """Insert a keyframe snapshot into a free slot; returns (map, kf_id).
+
+    Functional equivalent of `new KeyFrame(frame, map, kfdb)` +
+    `Map::AddKeyFrame` (reference: Tracking::CreateNewKeyFrame).
+    """
+    k = alloc_keyframe_slot(m)
+    m = m._replace(
+        kf_Tcw=m.kf_Tcw.at[k].set(Tcw),
+        kf_valid=m.kf_valid.at[k].set(True),
+        kf_timestamp=m.kf_timestamp.at[k].set(timestamp),
+        kf_frame_id=m.kf_frame_id.at[k].set(frame_id),
+        kf_uv=m.kf_uv.at[k].set(uv),
+        kf_level=m.kf_level.at[k].set(level),
+        kf_angle=m.kf_angle.at[k].set(angle),
+        kf_ur=m.kf_ur.at[k].set(ur),
+        kf_depth=m.kf_depth.at[k].set(depth),
+        kf_desc=m.kf_desc.at[k].set(desc),
+        kf_kp_valid=m.kf_kp_valid.at[k].set(kp_valid),
+        kf_pt_idx=m.kf_pt_idx.at[k].set(pt_idx),
+        n_kf=m.n_kf + 1,
+    )
+    return m, k
+
+
+def add_points(
+    m: MapState,
+    xyz: jax.Array,  # [B, 3]
+    desc: jax.Array,  # [B, 8] uint32
+    normal: jax.Array,  # [B, 3]
+    min_dist: jax.Array,  # [B]
+    max_dist: jax.Array,  # [B]
+    ref_kf: jax.Array,  # [] or [B]
+    ok: jax.Array,  # [B] — only rows with ok=True are inserted
+) -> tuple[MapState, jax.Array]:
+    """Batch-insert points into free slots; returns (map, slots [B]).
+
+    slots[i] = -1 where not inserted (ok=False or capacity exhausted).
+    """
+    B = xyz.shape[0]
+    slots, free_ok = alloc_point_slots(m, B)
+    ins = ok & free_ok
+    # For masked-out rows scatter to a dump slot (capacity-1 guaranteed to
+    # be overwritten correctly because drop mode 'drop' skips OOB): use
+    # index P (out of bounds) so XLA drops the update.
+    P = m.pt_valid.shape[0]
+    tgt = jnp.where(ins, slots, P)
+    count = jnp.sum(ins.astype(jnp.int32))
+    ref = jnp.broadcast_to(ref_kf, (B,))
+    m = m._replace(
+        pt_xyz=m.pt_xyz.at[tgt].set(xyz, mode="drop"),
+        pt_valid=m.pt_valid.at[tgt].set(True, mode="drop"),
+        pt_desc=m.pt_desc.at[tgt].set(desc, mode="drop"),
+        pt_normal=m.pt_normal.at[tgt].set(normal, mode="drop"),
+        pt_min_dist=m.pt_min_dist.at[tgt].set(min_dist, mode="drop"),
+        pt_max_dist=m.pt_max_dist.at[tgt].set(max_dist, mode="drop"),
+        pt_ref_kf=m.pt_ref_kf.at[tgt].set(ref, mode="drop"),
+        pt_first_kf=m.pt_first_kf.at[tgt].set(ref, mode="drop"),
+        pt_visible=m.pt_visible.at[tgt].set(1.0, mode="drop"),
+        pt_found=m.pt_found.at[tgt].set(1.0, mode="drop"),
+        n_pt=m.n_pt + count,
+    )
+    return m, jnp.where(ins, slots, -1)
+
+
+def erase_points(m: MapState, pt_ids: jax.Array) -> MapState:
+    """Mark points bad and detach all their observations.
+
+    Functional MapPoint::SetBadFlag: clears validity and removes the
+    feature->point links pointing at them.
+    """
+    P = m.pt_valid.shape[0]
+    bad = jnp.zeros((P,), dtype=bool).at[pt_ids].set(True, mode="drop")
+    # detach observations referencing a bad point
+    linked = m.kf_pt_idx >= 0
+    obs_bad = jnp.where(linked, bad[jnp.clip(m.kf_pt_idx, 0)], False)
+    n_erased = jnp.sum(bad & m.pt_valid)
+    return m._replace(
+        pt_valid=m.pt_valid & jnp.logical_not(bad),
+        kf_pt_idx=jnp.where(obs_bad, -1, m.kf_pt_idx),
+        n_pt=m.n_pt - n_erased.astype(jnp.int32),
+    )
+
+
+def erase_keyframe(m: MapState, kf_id: jax.Array) -> MapState:
+    """Mark a keyframe bad and detach its observations
+    (KeyFrame::SetBadFlag minus spanning-tree repair, which lives in
+    covisibility/essential-graph logic)."""
+    N = m.kf_pt_idx.shape[1]
+    return m._replace(
+        kf_valid=m.kf_valid.at[kf_id].set(False),
+        kf_kp_valid=m.kf_kp_valid.at[kf_id].set(jnp.zeros((N,), dtype=bool)),
+        kf_pt_idx=m.kf_pt_idx.at[kf_id].set(jnp.full((N,), -1, jnp.int32)),
+        n_kf=m.n_kf - 1,
+    )
