@@ -1,0 +1,163 @@
+"""Binary descriptor matching — Hamming distance on the MXU.
+
+Replaces ORBmatcher's Hamming kernels (reference: src/ORBmatcher.cc
+DescriptorDistance — the parallel-bit-count hack — and the brute-force
+loops inside SearchByProjection / SearchForInitialization / Fuse).
+
+TPU-first formulation: unpack 256-bit descriptors to bipolar {-1,+1}
+bfloat16 vectors; then for a in A, b in B:
+    dot(a, b) = 256 - 2 * hamming(a, b)
+ => hamming = (256 - dot) / 2
+so an [N, M] Hamming-distance matrix is ONE 256-deep matmul — exactly
+what the systolic array is built for. Values are integers <= 256, exact
+in bf16 x bf16 -> f32 accumulation. A popcount path is provided for
+small/irregular cases and as a cross-check.
+
+Constants follow the reference (ORBmatcher.h): TH_LOW=50, TH_HIGH=100,
+HISTO_LENGTH=30.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+TH_LOW = 50
+TH_HIGH = 100
+HISTO_LENGTH = 30
+
+
+def unpack_bipolar(desc: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """[..., 8] uint32 -> [..., 256] bipolar (-1/+1) vectors."""
+    w = desc[..., :, None]
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = ((w >> shifts) & jnp.uint32(1)).astype(dtype)
+    bits = bits.reshape(desc.shape[:-1] + (256,))
+    return bits * 2.0 - 1.0
+
+
+def hamming_matrix(desc_a: jax.Array, desc_b: jax.Array) -> jax.Array:
+    """[N, 8] x [M, 8] uint32 -> [N, M] int32 Hamming distances (MXU path)."""
+    a = unpack_bipolar(desc_a)
+    b = unpack_bipolar(desc_b)
+    dot = jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (b.ndim - 1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return ((256.0 - dot) * 0.5).astype(jnp.int32)
+
+
+def hamming_popcount(desc_a: jax.Array, desc_b: jax.Array) -> jax.Array:
+    """Elementwise-broadcast popcount path: a [..., 8], b [..., 8] ->
+    [...] int32. For pairwise use a [N, 1, 8] vs b [1, M, 8]."""
+    x = jnp.bitwise_xor(desc_a, desc_b)
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
+def masked_hamming_matrix(
+    desc_a: jax.Array,
+    desc_b: jax.Array,
+    valid_a: jax.Array,
+    valid_b: jax.Array,
+    fill: int = 512,
+) -> jax.Array:
+    """[N, M] Hamming with invalid rows/cols set to `fill` (> max 256)."""
+    d = hamming_matrix(desc_a, desc_b)
+    mask = valid_a[:, None] & valid_b[None, :]
+    return jnp.where(mask, d, fill)
+
+
+def best_two(dist: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Row-wise best + second-best over the last axis.
+
+    Returns (best_idx [N], best [N], second [N]).
+    """
+    neg = -dist
+    vals, idx = jax.lax.top_k(neg, 2)
+    return idx[..., 0], -vals[..., 0], -vals[..., 1]
+
+
+def match_nn_ratio(
+    dist: jax.Array,
+    max_dist: int = TH_LOW,
+    ratio: float = 0.9,
+    check_ratio: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Row-wise nearest neighbor with distance gate + Lowe ratio test.
+
+    Mirrors the accept logic of SearchForInitialization /
+    SearchByBoW: best < max_dist and best < ratio * second.
+    Returns (match_idx [N] int32 with -1 for no match, best_dist [N]).
+    """
+    best_idx, best, second = best_two(dist)
+    ok = best < max_dist
+    if check_ratio:
+        ok = ok & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
+    return jnp.where(ok, best_idx, -1), best
+
+
+def mutual_filter(match_ab: jax.Array, match_ba: jax.Array) -> jax.Array:
+    """Keep a->b matches only if b->a agrees (cross-check).
+
+    match_ab [N] int32 (index into B or -1), match_ba [M] int32.
+    """
+    n = match_ab.shape[0]
+    b_idx = jnp.clip(match_ab, 0)
+    back = match_ba[b_idx]
+    ok = (match_ab >= 0) & (back == jnp.arange(n, dtype=match_ab.dtype))
+    return jnp.where(ok, match_ab, -1)
+
+
+def rotation_consistency(
+    match_idx: jax.Array,  # [N] int32, -1 = no match
+    angle_a: jax.Array,  # [N] radians
+    angle_b: jax.Array,  # [M] radians
+) -> jax.Array:
+    """Rotation-histogram consistency filter (ORBmatcher's HISTO_LENGTH=30
+    bins + ComputeThreeMaxima): keep only matches whose angle difference
+    falls in one of the three most-populated orientation-delta bins.
+    """
+    matched = match_idx >= 0
+    rot = angle_a - angle_b[jnp.clip(match_idx, 0)]
+    # wrap to [0, 2pi) then bin
+    two_pi = 2.0 * jnp.pi
+    rot = jnp.mod(rot, two_pi)
+    bins = jnp.clip(
+        (rot * (HISTO_LENGTH / two_pi)).astype(jnp.int32), 0, HISTO_LENGTH - 1
+    )
+    hist = jnp.zeros((HISTO_LENGTH,), jnp.int32).at[
+        jnp.where(matched, bins, HISTO_LENGTH)
+    ].add(1, mode="drop")
+
+    top_vals, top_bins = jax.lax.top_k(hist, 3)
+    # reference drops bins 2/3 if much weaker than bin 1 (0.1 factor)
+    keep_bin = top_vals.astype(jnp.float32) >= 0.1 * top_vals[0].astype(
+        jnp.float32
+    )
+    in_top = jnp.any(
+        (bins[:, None] == top_bins[None, :]) & keep_bin[None, :], axis=-1
+    )
+    return jnp.where(matched & in_top, match_idx, -1)
+
+
+def match_descriptors(
+    desc_a: jax.Array,
+    desc_b: jax.Array,
+    valid_a: jax.Array,
+    valid_b: jax.Array,
+    max_dist: int = TH_LOW,
+    ratio: float = 0.9,
+    mutual: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Full brute-force matcher A -> B: NN + gates + optional cross-check.
+
+    Returns (match_idx [N] into B with -1 sentinel, dist [N]).
+    """
+    d = masked_hamming_matrix(desc_a, desc_b, valid_a, valid_b)
+    idx_ab, dist_ab = match_nn_ratio(d, max_dist, ratio)
+    if mutual:
+        idx_ba, _ = match_nn_ratio(
+            jnp.swapaxes(d, 0, 1), max_dist, ratio, check_ratio=False
+        )
+        idx_ab = mutual_filter(idx_ab, idx_ba)
+    return idx_ab, dist_ab
