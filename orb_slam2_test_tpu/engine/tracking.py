@@ -1,0 +1,524 @@
+"""Tracking: the per-frame front-end state machine.
+
+Replaces src/Tracking.cc. The reference's structure maps as:
+
+  GrabImageMonocular/RGBD -> Tracker.process_*()
+  MonocularInitialization -> _try_initialize_mono (batched H/F RANSAC)
+  TrackWithMotionModel    -> _track_motion_model (projection matcher +
+                             batched motion-only GN)
+  TrackReferenceKeyFrame  -> _track_reference_kf (descriptor NN matcher)
+  TrackLocalMap           -> _track_local_map (covisibility vote ->
+                             local point set -> projection match -> GN)
+  NeedNewKeyFrame/CreateNewKeyFrame -> _maybe_insert_keyframe
+  Relocalization          -> engine/relocalization.py (PnP RANSAC)
+
+Data-dependent decisions (init success, lost, KF insertion) live on the
+host as in the reference; everything per-decision is one jitted stage,
+so the host/device boundary sits at whole-stage granularity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_test_tpu.geometry.camera import PinholeCamera
+from orb_slam2_test_tpu.geometry.se3 import se3_inverse
+from orb_slam2_test_tpu.engine.frame import FrameData, build_frame_mono, build_frame_rgbd
+from orb_slam2_test_tpu.engine.matchers import (
+    match_by_descriptor_to_map,
+    search_by_projection,
+    search_for_initialization,
+)
+from orb_slam2_test_tpu.engine.local_mapping import (
+    LocalBACaps,
+    cull_points,
+    run_local_ba,
+    triangulate_with_neighbor,
+)
+from orb_slam2_test_tpu.slam_map.mapstate import (
+    MapCapacity,
+    MapState,
+    add_keyframe,
+    add_points,
+    make_empty_map,
+)
+from orb_slam2_test_tpu.slam_map.covisibility import best_covisible
+from orb_slam2_test_tpu.solvers.initializer import initialize_mono
+from orb_slam2_test_tpu.solvers.pose_opt import pose_optimization
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Static configuration (YAML keys + capacities). Hashable."""
+
+    n_features: int = 1000
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    max_keyframes: int = 256
+    max_points: int = 32768
+    local_pt_cap: int = 4096
+    local_kf_cap: int = 16
+    ba_fixed_cap: int = 8
+    ba_pt_cap: int = 4096
+    n_triangulate_neighbors: int = 4
+    motion_radius: float = 15.0  # reference th=15 mono motion model
+    local_radius: float = 3.0
+    min_init_matches: int = 100
+    min_init_triangulated: int = 50  # reference MIN_TRIANGULATED
+    min_track_matches: int = 15
+    min_local_inliers: int = 30
+    max_frames_between_kf: int = 30
+    kf_ref_ratio: float = 0.9  # reference thRefRatio for mono
+    seed: int = 0
+
+    @property
+    def map_capacity(self) -> MapCapacity:
+        return MapCapacity(
+            max_keyframes=self.max_keyframes,
+            max_features=self.n_features,
+            max_points=self.max_points,
+            n_levels=self.n_levels,
+            scale_factor=self.scale_factor,
+        )
+
+    @property
+    def ba_caps(self) -> LocalBACaps:
+        return LocalBACaps(
+            n_local=self.local_kf_cap,
+            n_fixed=self.ba_fixed_cap,
+            n_points=self.ba_pt_cap,
+        )
+
+
+class TrackingState:
+    NOT_INITIALIZED = "NOT_INITIALIZED"
+    OK = "OK"
+    LOST = "LOST"
+
+
+class Tracker:
+    """Host-side tracking driver. Owns the MapState and per-frame state."""
+
+    def __init__(self, cam: PinholeCamera, config: TrackerConfig = TrackerConfig()):
+        self.cam = cam
+        self.cfg = config
+        self.cap = config.map_capacity
+        self.state = TrackingState.NOT_INITIALIZED
+        self.map: MapState = make_empty_map(self.cap)
+        self.key = jax.random.PRNGKey(config.seed)
+
+        self.init_frame: Optional[FrameData] = None
+        self.last_frame: Optional[FrameData] = None
+        self.last_feat_pt = None  # [N] point id per last-frame feature
+        self.cur_feat_pt = None
+        self.n_tracked = 0
+        self.last_Tcw = np.eye(4)
+        self._prev_Tcw = np.eye(4)
+        self.velocity = None  # [4, 4] or None
+        self.ref_kf = 0
+        self.ref_kf_tracked = 0
+        self.frames_since_kf = 0
+        self.frame_id = 0
+        self.trajectory = []  # (timestamp, Tcw np [4,4]) per tracked frame
+        self.stats = {"n_kf": 0, "reloc": 0, "lost_frames": 0}
+
+    # ------------------------------------------------------------------
+    def process_image_mono(self, img, timestamp: float):
+        """Main entry — System::TrackMonocular -> GrabImageMonocular."""
+        frame = build_frame_mono(
+            jnp.asarray(img, jnp.float32),
+            timestamp,
+            self.cam,
+            n_features=self.cfg.n_features,
+            n_levels=self.cfg.n_levels,
+            scale_factor=self.cfg.scale_factor,
+        )
+        return self._track(frame)
+
+    def process_image_rgbd(self, img, depth, timestamp: float):
+        frame = build_frame_rgbd(
+            jnp.asarray(img, jnp.float32),
+            jnp.asarray(depth, jnp.float32),
+            timestamp,
+            self.cam,
+            n_features=self.cfg.n_features,
+            n_levels=self.cfg.n_levels,
+            scale_factor=self.cfg.scale_factor,
+        )
+        return self._track(frame, use_depth=True)
+
+    # ------------------------------------------------------------------
+    def _track(self, frame: FrameData, use_depth: bool = False):
+        self.frame_id += 1
+        if self.state == TrackingState.NOT_INITIALIZED:
+            if use_depth:
+                ok = self._initialize_with_depth(frame)
+            else:
+                ok = self._try_initialize_mono(frame)
+            if ok:
+                self.state = TrackingState.OK
+            self.last_frame = frame
+            return self.current_pose()
+
+        ok = self._track_motion_model(frame)
+        if not ok:
+            ok = self._track_reference_kf(frame)
+        if ok:
+            ok = self._track_local_map(frame)
+        if ok:
+            self.state = TrackingState.OK
+            self.velocity = self.last_Tcw @ np.asarray(
+                se3_inverse(jnp.asarray(self._prev_Tcw))
+            )
+            self._maybe_insert_keyframe(frame, use_depth)
+            self.last_feat_pt = self.cur_feat_pt
+            self.trajectory.append(
+                (float(frame.timestamp), np.asarray(self.last_Tcw))
+            )
+        else:
+            self.state = TrackingState.LOST
+            self.stats["lost_frames"] += 1
+            self.velocity = None
+        self.last_frame = frame
+        self.frames_since_kf += 1
+        return self.current_pose() if ok else None
+
+    def current_pose(self):
+        return np.asarray(self.last_Tcw)
+
+    # ------------------------------------------------------------------
+    # Initialization
+    # ------------------------------------------------------------------
+    def _try_initialize_mono(self, frame: FrameData) -> bool:
+        n_feat = int(jnp.sum(frame.valid))
+        if self.init_frame is None:
+            if n_feat >= self.cfg.min_init_matches:
+                self.init_frame = frame
+            return False
+        m12, n_matches = search_for_initialization(self.init_frame, frame)
+        if int(n_matches) < self.cfg.min_init_matches:
+            # too few matches: restart from this frame (reference resets
+            # the Initializer)
+            self.init_frame = frame if n_feat >= self.cfg.min_init_matches else None
+            return False
+
+        matched = m12 >= 0
+        j = jnp.clip(m12, 0)
+        uv1 = self.init_frame.uv
+        uv2 = frame.uv[j]
+        self.key, sub = jax.random.split(self.key)
+        res = initialize_mono(
+            self.cam, uv1, uv2, matched, sub,
+            min_triangulated=self.cfg.min_init_triangulated,
+        )
+        if not bool(res.success):
+            return False
+
+        good = np.asarray(res.good)
+        pts = res.points
+        # scale so median depth in cam 1 is 1 (reference
+        # CreateInitialMapMonocular: inverse median depth)
+        depths = np.asarray(pts[:, 2])[good]
+        med = float(np.median(depths))
+        if med <= 0:
+            return False
+        inv_med = 1.0 / med
+        pts = pts * inv_med
+        Tcw2 = np.array(res.Tcw2)  # writable copy
+        Tcw2[:3, 3] *= inv_med
+        Tcw2 = jnp.asarray(Tcw2)
+
+        self._create_initial_map(frame, m12, res.good, pts, Tcw2)
+        self.last_Tcw = np.asarray(Tcw2)
+        self._prev_Tcw = np.asarray(Tcw2)
+        self.trajectory.append((float(frame.timestamp), np.asarray(Tcw2)))
+        return True
+
+    def _create_initial_map(self, frame2, m12, good, pts, Tcw2):
+        cap = self.cap
+        f1 = self.init_frame
+        j = jnp.clip(m12, 0)
+
+        # geometry attributes seen from camera 2
+        O2 = np.asarray(-Tcw2[:3, :3].T @ Tcw2[:3, 3])
+        view = pts - jnp.asarray(O2)
+        dist = jnp.maximum(jnp.linalg.norm(view, axis=-1), 1e-9)
+        normal = view / dist[:, None]
+        scales = jnp.asarray(cap.level_scales)
+        lvl2 = frame2.level[j]
+        max_dist = dist * scales[lvl2]
+        min_dist = max_dist / scales[-1]
+
+        m, kf0 = add_keyframe(
+            self.map, jnp.eye(4), f1.timestamp, 0,
+            f1.uv, f1.level, f1.angle, f1.ur, f1.depth, f1.desc, f1.valid,
+            jnp.full((cap.max_features,), -1, jnp.int32),
+        )
+        m, kf1 = add_keyframe(
+            m, Tcw2, frame2.timestamp, self.frame_id,
+            frame2.uv, frame2.level, frame2.angle, frame2.ur, frame2.depth,
+            frame2.desc, frame2.valid,
+            jnp.full((cap.max_features,), -1, jnp.int32),
+        )
+        m, slots = add_points(
+            m, pts, frame2.desc[j], normal, min_dist, max_dist, kf1, good
+        )
+        created = slots >= 0
+        N = cap.max_features
+        row0 = jnp.where(created, slots, -1)
+        m = m._replace(kf_pt_idx=m.kf_pt_idx.at[kf0].set(row0))
+        tgt = jnp.where(created, j, N)
+        row1 = m.kf_pt_idx[kf1].at[tgt].set(slots, mode="drop")
+        m = m._replace(kf_pt_idx=m.kf_pt_idx.at[kf1].set(row1))
+
+        # full BA on the 2-keyframe map (reference: GlobalBundleAdjustemnt
+        # with 20 iterations right after init)
+        m = run_local_ba(m, self.cam, jnp.asarray(int(kf1)), cap, self.cfg.ba_caps)
+        self.map = m
+        self.ref_kf = int(kf1)
+        self.ref_kf_tracked = int(jnp.sum(created))
+        self.frames_since_kf = 0
+        self.stats["n_kf"] = 2
+        self.last_feat_pt = row1
+        self.velocity = None
+
+    def _initialize_with_depth(self, frame: FrameData) -> bool:
+        """Stereo/RGB-D initialization (Tracking::StereoInitialization):
+        one keyframe, points straight from depth."""
+        n_depth = int(jnp.sum((frame.depth > 0) & frame.valid))
+        if n_depth < 500:
+            return False
+        cap = self.cap
+        from orb_slam2_test_tpu.geometry.camera import backproject
+
+        xyz = backproject(self.cam, frame.uv, frame.depth)
+        ok = (frame.depth > 0) & frame.valid
+        dist = jnp.maximum(jnp.linalg.norm(xyz, axis=-1), 1e-9)
+        normal = xyz / dist[:, None]
+        scales = jnp.asarray(cap.level_scales)
+        max_dist = dist * scales[frame.level]
+        min_dist = max_dist / scales[-1]
+
+        m, kf0 = add_keyframe(
+            self.map, jnp.eye(4), frame.timestamp, self.frame_id,
+            frame.uv, frame.level, frame.angle, frame.ur, frame.depth,
+            frame.desc, frame.valid,
+            jnp.full((cap.max_features,), -1, jnp.int32),
+        )
+        m, slots = add_points(
+            m, xyz, frame.desc, normal, min_dist, max_dist, kf0, ok
+        )
+        row = jnp.where(slots >= 0, slots, -1)
+        m = m._replace(kf_pt_idx=m.kf_pt_idx.at[kf0].set(row))
+        self.map = m
+        self.ref_kf = int(kf0)
+        self.ref_kf_tracked = int(jnp.sum(slots >= 0))
+        self.frames_since_kf = 0
+        self.stats["n_kf"] = 1
+        self.last_feat_pt = row
+        self.last_Tcw = np.eye(4)
+        self._prev_Tcw = np.eye(4)
+        self.velocity = None
+        self.trajectory.append((float(frame.timestamp), np.eye(4)))
+        return True
+
+    # ------------------------------------------------------------------
+    # Per-frame tracking
+    # ------------------------------------------------------------------
+    def _pose_opt_from_matches(self, frame, feat_pt, Tcw_init):
+        """Run motion-only BA on current feature->point matches."""
+        has = feat_pt >= 0
+        pid = jnp.clip(feat_pt, 0)
+        X = self.map.pt_xyz[pid]
+        uvr = jnp.concatenate([frame.uv, frame.ur[:, None]], axis=-1)
+        isig2 = 1.0 / jnp.asarray(self.cap.level_sigma2)[frame.level]
+        res = pose_optimization(
+            self.cam, jnp.asarray(Tcw_init), X, uvr, isig2,
+            has & frame.valid,
+        )
+        return res
+
+    def _track_motion_model(self, frame: FrameData) -> bool:
+        if self.velocity is None or self.last_feat_pt is None:
+            return False
+        pred = jnp.asarray(self.velocity @ self.last_Tcw)
+        m = self.map
+        # last frame's points, projected into the predicted pose
+        pm = search_by_projection(
+            self.cam, pred,
+            m.pt_xyz, m.pt_desc, m.pt_valid & (self.last_feat_pt_mask()),
+            m.pt_normal, m.pt_min_dist, m.pt_max_dist,
+            jnp.arange(m.pt_valid.shape[0], dtype=jnp.int32),
+            frame,
+            radius=self.cfg.motion_radius,
+            scale_factor=self.cfg.scale_factor,
+            n_levels=self.cfg.n_levels,
+            check_view_cos=False,
+        )
+        if int(pm.n_matches) < self.cfg.min_track_matches:
+            return False
+        res = self._pose_opt_from_matches(frame, pm.feat_pt, pred)
+        if int(res.n_inliers) < 10:
+            return False
+        self._prev_Tcw = self.last_Tcw
+        self.last_Tcw = np.asarray(res.Tcw)
+        self.cur_feat_pt = jnp.where(res.inliers, pm.feat_pt, -1)
+        return True
+
+    def last_feat_pt_mask(self):
+        """[P] bool — points observed in the last frame."""
+        P = self.map.pt_valid.shape[0]
+        pid = jnp.where(self.last_feat_pt >= 0, self.last_feat_pt, P)
+        return jnp.zeros((P,), bool).at[pid].set(True, mode="drop")
+
+    def _track_reference_kf(self, frame: FrameData) -> bool:
+        m = self.map
+        row = m.kf_pt_idx[self.ref_kf]
+        has = row >= 0
+        pm = match_by_descriptor_to_map(
+            frame,
+            m.pt_desc[jnp.clip(row, 0)],
+            has & m.kf_kp_valid[self.ref_kf],
+            jnp.where(has, row, -1),
+        )
+        if int(pm.n_matches) < self.cfg.min_track_matches:
+            return False
+        res = self._pose_opt_from_matches(frame, pm.feat_pt, self.last_Tcw)
+        if int(res.n_inliers) < 10:
+            return False
+        self._prev_Tcw = self.last_Tcw
+        self.last_Tcw = np.asarray(res.Tcw)
+        self.cur_feat_pt = jnp.where(res.inliers, pm.feat_pt, -1)
+        return True
+
+    def _track_local_map(self, frame: FrameData) -> bool:
+        m = self.map
+        P = m.pt_valid.shape[0]
+        # local keyframes by covisibility votes from current matches
+        cur_pts = jnp.where(self.cur_feat_pt >= 0, self.cur_feat_pt, P)
+        ind = jnp.zeros((P,), jnp.float32).at[cur_pts].set(1.0, mode="drop")
+        linked = (m.kf_pt_idx >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+        votes = jnp.sum(
+            jnp.where(linked, ind[jnp.clip(m.kf_pt_idx, 0)], 0.0), axis=1
+        )
+        vw, vkf = jax.lax.top_k(votes, self.cfg.local_kf_cap)
+        local_kf = jnp.where(vw > 0, vkf, -1)
+        # update reference keyframe = most-sharing KF (reference:
+        # pKFmax in UpdateLocalKeyFrames)
+        if int(vw[0]) > 0:
+            self.ref_kf = int(vkf[0])
+
+        # local point set = points of local KFs
+        lsafe = jnp.clip(local_kf, 0)
+        rows = jnp.where(
+            (local_kf >= 0)[:, None], m.kf_pt_idx[lsafe], -1
+        )
+        pmask = jnp.zeros((P,), bool).at[
+            jnp.where(rows >= 0, rows, P)
+        ].set(True, mode="drop") & m.pt_valid
+
+        pm = search_by_projection(
+            self.cam, jnp.asarray(self.last_Tcw),
+            m.pt_xyz, m.pt_desc, pmask,
+            m.pt_normal, m.pt_min_dist, m.pt_max_dist,
+            jnp.arange(P, dtype=jnp.int32),
+            frame,
+            radius=self.cfg.local_radius,
+            ratio=0.8,
+            scale_factor=self.cfg.scale_factor,
+            n_levels=self.cfg.n_levels,
+        )
+        # keep existing matches where present
+        feat_pt = jnp.where(self.cur_feat_pt >= 0, self.cur_feat_pt, pm.feat_pt)
+        res = self._pose_opt_from_matches(frame, feat_pt, self.last_Tcw)
+        n_inl = int(res.n_inliers)
+        if n_inl < self.cfg.min_local_inliers:
+            return False
+        self.last_Tcw = np.asarray(res.Tcw)
+        self.cur_feat_pt = jnp.where(res.inliers, feat_pt, -1)
+        self.n_tracked = n_inl
+
+        # visibility statistics for culling (IncreaseVisible/IncreaseFound)
+        seen = jnp.where(self.cur_feat_pt >= 0, self.cur_feat_pt, P)
+        vis = jnp.zeros((P,), jnp.float32).at[seen].add(1.0, mode="drop")
+        self.map = m._replace(
+            pt_visible=m.pt_visible + vis, pt_found=m.pt_found + vis
+        )
+        return True
+
+    # ------------------------------------------------------------------
+    # Keyframe insertion + local mapping
+    # ------------------------------------------------------------------
+    def _maybe_insert_keyframe(self, frame: FrameData, use_depth: bool):
+        need = False
+        if self.frames_since_kf >= self.cfg.max_frames_between_kf:
+            need = True
+        ref_tracked = max(self.ref_kf_tracked, 1)
+        if (
+            self.n_tracked < self.cfg.kf_ref_ratio * ref_tracked
+            and self.n_tracked > self.cfg.min_track_matches
+        ):
+            need = True
+        if not need:
+            return
+
+        m, kf = add_keyframe(
+            self.map, jnp.asarray(self.last_Tcw), frame.timestamp,
+            self.frame_id,
+            frame.uv, frame.level, frame.angle, frame.ur, frame.depth,
+            frame.desc, frame.valid, self.cur_feat_pt,
+        )
+        kf_i = jnp.asarray(int(kf))
+
+        if use_depth:
+            m = self._add_depth_points(m, frame, kf_i)
+
+        # triangulate with best covisible neighbors (CreateNewMapPoints)
+        ids, w = best_covisible(m, kf_i, self.cfg.n_triangulate_neighbors)
+        ids_np = np.asarray(ids)
+        for nbr in ids_np:
+            if nbr < 0:
+                break
+            m, _ = triangulate_with_neighbor(
+                m, self.cam, kf_i, jnp.asarray(int(nbr)), self.cap
+            )
+
+        m = cull_points(m, kf_i)
+        m = run_local_ba(m, self.cam, kf_i, self.cap, self.cfg.ba_caps)
+        self.map = m
+        self.ref_kf = int(kf)
+        self.ref_kf_tracked = self.n_tracked
+        self.frames_since_kf = 0
+        self.stats["n_kf"] += 1
+        # refresh current matches from the (BA-updated) keyframe row
+        self.cur_feat_pt = m.kf_pt_idx[kf]
+
+    def _add_depth_points(self, m: MapState, frame: FrameData, kf_i):
+        """Stereo/RGB-D keyframe: create points for close unmatched
+        features (Tracking::CreateNewKeyFrame depth-sorted insertion)."""
+        from orb_slam2_test_tpu.geometry.camera import backproject
+        from orb_slam2_test_tpu.geometry.se3 import se3_apply, se3_inverse as inv
+
+        Tcw = m.kf_Tcw[kf_i]
+        Twc = inv(Tcw)
+        xyz_c = backproject(self.cam, frame.uv, frame.depth)
+        xyz_w = se3_apply(Twc, xyz_c)
+        free = (m.kf_pt_idx[kf_i] < 0) & frame.valid & (frame.depth > 0)
+        Ow = Twc[:3, 3]
+        view = xyz_w - Ow
+        dist = jnp.maximum(jnp.linalg.norm(view, axis=-1), 1e-9)
+        normal = view / dist[:, None]
+        scales = jnp.asarray(self.cap.level_scales)
+        max_dist = dist * scales[frame.level]
+        min_dist = max_dist / scales[-1]
+        m, slots = add_points(
+            m, xyz_w, frame.desc, normal, min_dist, max_dist, kf_i, free
+        )
+        created = slots >= 0
+        row = jnp.where(created, slots, m.kf_pt_idx[kf_i])
+        return m._replace(kf_pt_idx=m.kf_pt_idx.at[kf_i].set(row))

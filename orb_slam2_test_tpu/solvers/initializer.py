@@ -324,7 +324,9 @@ def _check_rt(
     return n_good, parallax_deg, pts, good
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters",))
+@functools.partial(
+    jax.jit, static_argnames=("n_iters", "min_triangulated")
+)
 def initialize_mono(
     cam: PinholeCamera,
     uv1: jax.Array,  # [M, 2] undistorted keypoints in frame 1
@@ -332,6 +334,7 @@ def initialize_mono(
     valid: jax.Array,  # [M] bool — match exists
     key: jax.Array,
     n_iters: int = RANSAC_ITERS,
+    min_triangulated: int = MIN_TRIANGULATED,
 ) -> InitResult:
     """Full monocular initialization (Initializer::Initialize)."""
     kh, kf = jax.random.split(key)
@@ -405,7 +408,7 @@ def initialize_mono(
     n_inl = jnp.sum(inl.astype(jnp.int32))
 
     min_good = jnp.maximum(
-        jnp.int32(MIN_TRIANGULATED),
+        jnp.int32(min_triangulated),
         (0.9 * n_inl.astype(jnp.float32)).astype(jnp.int32),
     )
     ok = (

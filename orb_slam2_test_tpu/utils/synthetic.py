@@ -37,19 +37,46 @@ def make_landmarks(
     return np.concatenate([xy, z], axis=1).astype(np.float32)
 
 
+_PATCH_R = 15  # textured patch half-size; must cover BRIEF's 13-px
+# pattern radius so descriptor bits compare texture, not background
+
+
+def _landmark_patches(n: int, seed: int = 7) -> np.ndarray:
+    """[n, 2R+1, 2R+1] deterministic random textured patches.
+
+    Each landmark renders as a distinctive smoothed random texture so
+    that BRIEF descriptors are discriminative and orientation is stable
+    (pure Gaussian blobs are radially symmetric — unmatchable)."""
+    rng = np.random.default_rng(seed)
+    size = 2 * _PATCH_R + 1
+    pat = rng.uniform(0.0, 255.0, size=(n, size, size)).astype(np.float32)
+    # mild smoothing for subpixel stability (3x3 box, applied twice)
+    for _ in range(2):
+        p = np.pad(pat, ((0, 0), (1, 1), (1, 1)), mode="edge")
+        pat = (
+            p[:, :-2, :-2] + p[:, :-2, 1:-1] + p[:, :-2, 2:]
+            + p[:, 1:-1, :-2] + p[:, 1:-1, 1:-1] + p[:, 1:-1, 2:]
+            + p[:, 2:, :-2] + p[:, 2:, 1:-1] + p[:, 2:, 2:]
+        ) / 9.0
+    # radial window so the patch fades into the background
+    yy, xx = np.mgrid[-_PATCH_R : _PATCH_R + 1, -_PATCH_R : _PATCH_R + 1]
+    wnd = np.clip(1.3 - np.sqrt(yy**2 + xx**2) / _PATCH_R, 0.0, 1.0)
+    return pat * wnd[None]
+
+
 def render_frame(
     cam: PinholeCamera,
     Tcw: np.ndarray,
     landmarks: np.ndarray,
     intensities: np.ndarray,
-    blob_sigma: float = 1.6,
     background: float = 16.0,
+    patches: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Render landmarks as Gaussian blobs -> float32 [H, W] image.
+    """Render landmarks as textured patches -> float32 [H, W] image.
 
-    Each landmark has a distinctive intensity so that local patches are
-    discriminative enough for BRIEF matching across views. Pure NumPy
-    (host-side test utility, not part of the device pipeline).
+    Patches are placed with bilinear subpixel shift so keypoint
+    positions stay consistent across views. Pure NumPy (host-side test
+    utility, not part of the device pipeline).
     """
     h, w = cam.height, cam.width
     R, t = Tcw[:3, :3], Tcw[:3, 3]
@@ -60,20 +87,33 @@ def render_frame(
     v = cam.fy * pc[:, 1] / np.maximum(z, 0.1) + cam.cy
     vis &= (u >= -10) & (u < w + 10) & (v >= -10) & (v < h + 10)
 
+    if patches is None:
+        patches = _landmark_patches(len(landmarks))
+    gain = intensities / 255.0
+
     img = np.full((h, w), background, dtype=np.float32)
-    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
-    r = int(np.ceil(blob_sigma * 4))
-    for ui, vi, ii in zip(u[vis], v[vis], intensities[vis]):
-        x0, x1 = int(ui) - r, int(ui) + r + 1
-        y0, y1 = int(vi) - r, int(vi) + r + 1
-        x0c, x1c = max(x0, 0), min(x1, w)
-        y0c, y1c = max(y0, 0), min(y1, h)
-        if x0c >= x1c or y0c >= y1c:
+    r = _PATCH_R
+    for li in np.nonzero(vis)[0]:
+        ui, vi = u[li], v[li]
+        iu, iv = int(np.floor(ui)), int(np.floor(vi))
+        fu, fv = ui - iu, vi - iv
+        # bilinear subpixel placement of the patch
+        p = patches[li] * gain[li]
+        pp = np.zeros((2 * r + 2, 2 * r + 2), np.float32)
+        pp[:-1, :-1] += p * (1 - fv) * (1 - fu)
+        pp[:-1, 1:] += p * (1 - fv) * fu
+        pp[1:, :-1] += p * fv * (1 - fu)
+        pp[1:, 1:] += p * fv * fu
+        y0, x0 = iv - r, iu - r
+        y1, x1 = y0 + 2 * r + 2, x0 + 2 * r + 2
+        sy0, sx0 = max(y0, 0), max(x0, 0)
+        sy1, sx1 = min(y1, h), min(x1, w)
+        if sy0 >= sy1 or sx0 >= sx1:
             continue
-        gy = ys[y0c:y1c, x0c:x1c] - vi
-        gx = xs[y0c:y1c, x0c:x1c] - ui
-        blob = ii * np.exp(-(gx**2 + gy**2) / (2 * blob_sigma**2))
-        img[y0c:y1c, x0c:x1c] = np.maximum(img[y0c:y1c, x0c:x1c], blob)
+        img[sy0:sy1, sx0:sx1] = np.maximum(
+            img[sy0:sy1, sx0:sx1],
+            pp[sy0 - y0 : sy1 - y0, sx0 - x0 : sx1 - x0],
+        )
     return np.clip(img, 0.0, 255.0)
 
 
@@ -93,9 +133,10 @@ def make_sequence(
 
     cam = cam or default_camera()
     landmarks = make_landmarks(rng, n_landmarks)
-    intensities = rng.uniform(120.0, 255.0, size=(n_landmarks,)).astype(
+    intensities = rng.uniform(140.0, 255.0, size=(n_landmarks,)).astype(
         np.float32
     )
+    patches = _landmark_patches(n_landmarks)
     if step is None:
         step = np.array([0.15, 0.01, 0.0, 0.001, 0.004, 0.001])
 
@@ -105,5 +146,7 @@ def make_sequence(
         xi = jnp.asarray(step * i, dtype=jnp.float32)
         Tcw = np.asarray(se3_exp(xi))
         poses.append(Tcw)
-        images.append(render_frame(cam, Tcw, landmarks, intensities))
+        images.append(
+            render_frame(cam, Tcw, landmarks, intensities, patches=patches)
+        )
     return cam, np.stack(poses), landmarks, images
