@@ -23,35 +23,45 @@ import __graft_entry__ as graft
 
 BASELINE_FPS = 30.0  # reference tracking rate @640x480/1000 feats (i7)
 WARMUP = 3
-ITERS = 20
+ITERS = 5
 
 
 def main():
-    fn, args = graft.entry()
+    import jax.numpy as jnp
+
+    _, args = graft.entry()
     img0, rest = args[0], args[1:]
 
-    # pre-stage distinct images so no caching tricks can kick in
-    rng = np.random.default_rng(1)
-    imgs = [
-        jax.device_put(
-            (np.asarray(img0) + rng.uniform(0, 50, img0.shape)).astype(
-                np.float32
-            )
-        )
-        for _ in range(8)
-    ]
+    # chain K dependent steps inside ONE jitted program: measures true
+    # device time per frame without per-dispatch tunnel/runtime overhead
+    # (every frame differs: the image is perturbed by the running carry,
+    # and the predicted pose is fed forward).
+    K = 32
 
-    for i in range(WARMUP):
-        out = fn(imgs[i % 8], *rest)
+    @jax.jit
+    def run_chain(img, Tcw0):
+        def body(carry, _):
+            c, T = carry
+            T2, n = graft.tracking_step(
+                img + c, *rest[:-1], T
+            )
+            return (c + T2[0, 0] * 0 + n.astype(jnp.float32) * 1e-9, T2), None
+
+        (c, T), _ = jax.lax.scan(body, (0.0, Tcw0), None, length=K)
+        return c, T
+
+    Tcw0 = rest[-1]
+    for _ in range(WARMUP):
+        out = run_chain(img0, Tcw0)
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        out = fn(imgs[i % 8], *rest)
+    for _ in range(ITERS):
+        out = run_chain(img0, Tcw0)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
-    fps = ITERS / dt
+    fps = ITERS * K / dt
     print(
         json.dumps(
             {

@@ -24,6 +24,7 @@ from orb_slam2_test_tpu.engine.frame import FrameData
 from orb_slam2_test_tpu.ops.matching import (
     TH_HIGH,
     TH_LOW,
+    best_two,
     masked_hamming_matrix,
     rotation_consistency,
 )
@@ -150,10 +151,7 @@ def search_by_projection(
     )
     d = jnp.where(mask, d, 512)
 
-    neg = -d
-    vals, idx = jax.lax.top_k(neg, 2)
-    best, second = -vals[:, 0], -vals[:, 1]
-    best_idx = idx[:, 0]
+    best_idx, best, second = best_two(d)
     ok = (best <= max_hamming) & usable
     if ratio < 1.0:
         ok = ok & (
@@ -189,13 +187,11 @@ def search_for_initialization(
     win = (jnp.abs(du) <= window) & (jnp.abs(dv) <= window)
     d = jnp.where(win, d, 512)
 
-    neg = -d
-    vals, idx = jax.lax.top_k(neg, 2)
-    best, second = -vals[:, 0], -vals[:, 1]
+    best_idx, best, second = best_two(d)
     ok = (best <= max_hamming) & (
         best.astype(jnp.float32) < ratio * second.astype(jnp.float32)
     )
-    m12 = jnp.where(ok, idx[:, 0], -1)
+    m12 = jnp.where(ok, best_idx, -1)
     m12 = rotation_consistency(m12, f1.angle, f2.angle)
 
     # cross-check: best match of chosen f2 feature must be this f1 feature
@@ -277,13 +273,11 @@ def match_by_descriptor_to_map(
     accelerates this; accuracy-wise it is a descriptor NN with ratio
     0.7 + rotation check, which is what this computes)."""
     d = masked_hamming_matrix(pts_desc, frame.desc, pts_valid, frame.valid)
-    neg = -d
-    vals, idx = jax.lax.top_k(neg, 2)
-    best, second = -vals[:, 0], -vals[:, 1]
+    best_idx, best, second = best_two(d)
     ok = (best <= max_hamming) & (
         best.astype(jnp.float32) < ratio * second.astype(jnp.float32)
     )
-    best_feat = jnp.where(ok, idx[:, 0], -1)
+    best_feat = jnp.where(ok, best_idx, -1)
     feat_pt, pt_feat = _resolve_conflicts(
         best_feat, best, frame.uv.shape[0], pt_ids
     )

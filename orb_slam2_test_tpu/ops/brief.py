@@ -63,8 +63,9 @@ def _moment_kernels() -> tuple[np.ndarray, np.ndarray]:
 
 def orientation_maps(img: jax.Array) -> jax.Array:
     """[H, W] angle map (radians): atan2(m01, m10) of the 31x31 circular
-    patch centered at each pixel. Border handling: zero padding — only
-    sampled at keypoints >= EDGE_MARGIN from the border."""
+    patch centered at each pixel. Dense-conv variant kept for tests;
+    the extractor uses the patch-matmul path (patch_orientations),
+    which only evaluates at keypoints."""
     k10, k01 = _moment_kernels()
     k = jnp.stack(
         [jnp.asarray(k10), jnp.asarray(k01)], axis=0
@@ -77,6 +78,83 @@ def orientation_maps(img: jax.Array) -> jax.Array:
     return jnp.arctan2(m01, m10)
 
 
+@functools.lru_cache()
+def _patch_moment_operator() -> np.ndarray:
+    """[PATCH*PATCH, 2] — (x-moment, y-moment) coordinate kernels over
+    the circular IC_Angle support, laid out for the PATCH x PATCH
+    aligned patches of extract_patches (center at (PATCH//2, PATCH//2))."""
+    half = 16  # PATCH // 2 (brief.PATCH defined below)
+    ys, xs = np.mgrid[0:32, 0:32]
+    dx = (xs - half).astype(np.float32)
+    dy = (ys - half).astype(np.float32)
+    mask = (dx**2 + dy**2) <= PATCH_RADIUS * PATCH_RADIUS
+    k10 = (dx * mask).reshape(-1)
+    k01 = (dy * mask).reshape(-1)
+    return np.stack([k10, k01], axis=1)
+
+
+def patch_orientations(patches: jax.Array) -> jax.Array:
+    """[N, PATCH*PATCH] raw-image patches -> [N] IC_Angle orientations.
+
+    One [N, 1024] x [1024, 2] matmul (MXU) replaces the reference's
+    per-keypoint circular-moment loops (IC_Angle) and the dense
+    31x31 convolution alternative — moments are only needed AT
+    keypoints."""
+    op = jnp.asarray(_patch_moment_operator())
+    m = jax.lax.dot_general(
+        patches, op, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [N, 2] = (m10, m01)
+    return jnp.arctan2(m[:, 1], m[:, 0])
+
+
+N_ANGLE_BINS = 30  # 12-degree rotation quantization (original ORB paper)
+PATCH = 32  # aligned patch size for descriptor sampling
+
+
+@functools.lru_cache()
+def _binned_pattern_indices() -> "np.ndarray":
+    """[N_ANGLE_BINS, 256, 2] int32 — linear indices into a flattened
+    PATCH x PATCH patch (center at (PATCH//2, PATCH//2)) of the two
+    sampling points of each bit, pre-rotated for each angle bin.
+
+    This is the TPU-native trick: continuous per-keypoint pattern
+    rotation needs a 512-point random image gather per keypoint (slow,
+    scalar-unit bound, and pathological for XLA). Discretizing to 30
+    bins makes every sampling index STATIC, so descriptor sampling
+    compiles to constant-index selections from contiguous per-keypoint
+    patches. Rotation error <= 6 deg, well inside BRIEF's tolerance.
+    """
+    pat = brief_pattern().astype(np.float32)  # [256, 2, 2] (dx, dy)
+    half = PATCH // 2
+    out = np.zeros((N_ANGLE_BINS, N_BITS, 2), np.int32)
+    for b in range(N_ANGLE_BINS):
+        th = 2.0 * np.pi * b / N_ANGLE_BINS
+        c, s = np.cos(th), np.sin(th)
+        rx = np.round(c * pat[..., 0] - s * pat[..., 1]).astype(np.int64)
+        ry = np.round(s * pat[..., 0] + c * pat[..., 1]).astype(np.int64)
+        px = np.clip(rx + half, 0, PATCH - 1)
+        py = np.clip(ry + half, 0, PATCH - 1)
+        out[b] = (py * PATCH + px).astype(np.int32)
+    return out
+
+
+def extract_patches(img: jax.Array, xy: jax.Array) -> jax.Array:
+    """[N, PATCH*PATCH] — aligned patches centered at rounded keypoint
+    positions (clipped to image bounds), via batched dynamic slices —
+    contiguous reads, no random gather."""
+    h, w = img.shape
+    half = PATCH // 2
+    x0 = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32) - half, 0, w - PATCH)
+    y0 = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32) - half, 0, h - PATCH)
+
+    def slice_one(yy, xx):
+        return jax.lax.dynamic_slice(img, (yy, xx), (PATCH, PATCH))
+
+    patches = jax.vmap(slice_one)(y0, x0)  # [N, PATCH, PATCH]
+    return patches.reshape(-1, PATCH * PATCH)
+
+
 def compute_descriptors(
     blurred: jax.Array,  # [H, W] Gaussian-blurred level image
     xy: jax.Array,  # [N, 2] float (x, y) keypoint coords in level pixels
@@ -84,28 +162,31 @@ def compute_descriptors(
 ) -> jax.Array:
     """[N, 8] uint32 — rotated-BRIEF descriptors, 256 bits packed.
 
-    bit k = 1 iff I(p + R(theta) a_k) < I(p + R(theta) b_k), with
-    nearest-pixel sampling (reference computeOrbDescriptor uses the same
-    rounded rotated-pattern lookup).
+    bit k = 1 iff I(p + R(theta) a_k) < I(p + R(theta) b_k), rotation
+    quantized to N_ANGLE_BINS (reference computeOrbDescriptor rotates
+    continuously; the 12-deg discretization is the original ORB
+    formulation and is what makes this one MXU/VPU-friendly program).
     """
-    h, w = blurred.shape
-    pat = jnp.asarray(brief_pattern(), dtype=jnp.float32)  # [256, 2, 2] (dx, dy)
+    patches = extract_patches(blurred, xy)  # [N, 1024]
+    idx = jnp.asarray(_binned_pattern_indices())  # [B, 256, 2] static
 
-    c, s = jnp.cos(angle), jnp.sin(angle)  # [N]
-    # rotate pattern: for each kp, p' = (c*dx - s*dy, s*dx + c*dy)
-    dx = pat[..., 0][None]  # [1, 256, 2]
-    dy = pat[..., 1][None]
-    rx = c[:, None, None] * dx - s[:, None, None] * dy  # [N, 256, 2]
-    ry = s[:, None, None] * dx + c[:, None, None] * dy
+    # for every bin: constant-index select + compare -> bits [B, N, 256]
+    packed_all = []
+    for b in range(N_ANGLE_BINS):
+        va = patches[:, idx[b, :, 0]]  # [N, 256] static-index gather
+        vb = patches[:, idx[b, :, 1]]
+        packed_all.append(pack_bits(va < vb))  # [N, 8]
+    packed = jnp.stack(packed_all)  # [B, N, 8]
 
-    px = jnp.round(xy[:, 0][:, None, None] + rx).astype(jnp.int32)
-    py = jnp.round(xy[:, 1][:, None, None] + ry).astype(jnp.int32)
-    px = jnp.clip(px, 0, w - 1)
-    py = jnp.clip(py, 0, h - 1)
-
-    vals = blurred[py, px]  # [N, 256, 2] gather
-    bits = vals[..., 0] < vals[..., 1]  # [N, 256]
-    return pack_bits(bits)
+    two_pi = 2.0 * jnp.pi
+    bin_id = (
+        jnp.round(jnp.mod(angle, two_pi) * (N_ANGLE_BINS / two_pi)).astype(
+            jnp.int32
+        )
+        % N_ANGLE_BINS
+    )
+    # select each keypoint's bin: [B, N, 8] -> [N, 8]
+    return jnp.take_along_axis(packed, bin_id[None, :, None], axis=0)[0]
 
 
 def pack_bits(bits: jax.Array) -> jax.Array:

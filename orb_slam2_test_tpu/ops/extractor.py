@@ -33,8 +33,9 @@ from orb_slam2_test_tpu.ops.fast import (
     border_mask,
 )
 from orb_slam2_test_tpu.ops.brief import (
-    orientation_maps,
     compute_descriptors,
+    extract_patches,
+    patch_orientations,
     EDGE_MARGIN,
 )
 
@@ -152,10 +153,9 @@ def extract_orb(
 
         xy, resp, valid = _select_level_keypoints(eff, n_l)
 
-        ang_map = orientation_maps(level_img)
-        xi = jnp.clip(xy[:, 0].astype(jnp.int32), 0, w - 1)
-        yi = jnp.clip(xy[:, 1].astype(jnp.int32), 0, h - 1)
-        angle = ang_map[yi, xi]
+        # orientation from raw-image patch moments (IC_Angle via matmul)
+        raw_patches = extract_patches(level_img, xy)
+        angle = patch_orientations(raw_patches)
 
         blurred = gaussian_blur(level_img)
         desc = compute_descriptors(blurred, xy, angle)

@@ -70,11 +70,26 @@ def masked_hamming_matrix(
 def best_two(dist: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Row-wise best + second-best over the last axis.
 
+    Two-pass argmin instead of jax.lax.top_k: top_k lowers to a sort on
+    TPU and costs ~60 s of XLA compile time per [2k, 1k] call site;
+    min/argmin + masked second min is a plain reduction (compiles in
+    seconds, runs ~1.5x faster).
+
     Returns (best_idx [N], best [N], second [N]).
     """
-    neg = -dist
-    vals, idx = jax.lax.top_k(neg, 2)
-    return idx[..., 0], -vals[..., 0], -vals[..., 1]
+    n = dist.shape[-1]
+    fill = jnp.asarray(
+        jnp.iinfo(dist.dtype).max
+        if jnp.issubdtype(dist.dtype, jnp.integer)
+        else jnp.inf,
+        dtype=dist.dtype,
+    )
+    best_idx = jnp.argmin(dist, axis=-1)
+    best = jnp.min(dist, axis=-1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, dist.ndim - 1)
+    d2 = jnp.where(cols == best_idx[..., None], fill, dist)
+    second = jnp.min(d2, axis=-1)
+    return best_idx, best, second
 
 
 def match_nn_ratio(
