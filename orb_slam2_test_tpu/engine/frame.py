@@ -79,6 +79,53 @@ def build_frame_mono(
     jax.jit,
     static_argnames=("cam", "n_features", "n_levels", "scale_factor"),
 )
+def build_frame_stereo(
+    img_left: jax.Array,
+    img_right: jax.Array,
+    timestamp: jax.Array,
+    cam: PinholeCamera,
+    n_features: int = 1000,
+    n_levels: int = 8,
+    scale_factor: float = 1.2,
+) -> FrameData:
+    """Stereo frame: ORB on both images (the reference runs the two
+    extractors in parallel threads; here they are one fused program) +
+    scanline association + SAD subpixel disparity
+    (reference Frame stereo ctor + ComputeStereoMatches)."""
+    from orb_slam2_test_tpu.ops.pyramid import build_pyramid
+    from orb_slam2_test_tpu.ops.stereo import stereo_match
+
+    fl = extract_orb(
+        img_left, n_features=n_features, n_levels=n_levels,
+        scale_factor=scale_factor,
+    )
+    fr = extract_orb(
+        img_right, n_features=n_features, n_levels=n_levels,
+        scale_factor=scale_factor,
+    )
+    lp = tuple(build_pyramid(img_left, n_levels, scale_factor))
+    rp = tuple(build_pyramid(img_right, n_levels, scale_factor))
+    ur, depth = stereo_match(
+        fl, fr, lp, rp, float(cam.bf), n_features, n_levels, scale_factor
+    )
+    uv_un = undistort_points(cam, fl.uv) if cam.has_distortion else fl.uv
+    return FrameData(
+        uv=uv_un,
+        uv_raw=fl.uv,
+        level=fl.level,
+        angle=fl.angle,
+        desc=fl.desc,
+        valid=fl.valid,
+        ur=ur,
+        depth=depth,
+        timestamp=jnp.asarray(timestamp, jnp.float32),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cam", "n_features", "n_levels", "scale_factor"),
+)
 def build_frame_rgbd(
     img: jax.Array,
     depth_map: jax.Array,  # [H, W] float32 metric depth (0/neg = invalid)

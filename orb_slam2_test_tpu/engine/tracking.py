@@ -72,6 +72,7 @@ class TrackerConfig:
     min_init_triangulated: int = 50  # reference MIN_TRIANGULATED
     min_track_matches: int = 15
     min_local_inliers: int = 30
+    min_depth_init_points: int = 500  # reference StereoInitialization
     max_frames_between_kf: int = 30
     kf_ref_ratio: float = 0.9  # reference thRefRatio for mono
     seed: int = 0
@@ -139,6 +140,21 @@ class Tracker:
             scale_factor=self.cfg.scale_factor,
         )
         return self._track(frame)
+
+    def process_image_stereo(self, img_left, img_right, timestamp: float):
+        """System::TrackStereo -> GrabImageStereo."""
+        from orb_slam2_test_tpu.engine.frame import build_frame_stereo
+
+        frame = build_frame_stereo(
+            jnp.asarray(img_left, jnp.float32),
+            jnp.asarray(img_right, jnp.float32),
+            timestamp,
+            self.cam,
+            n_features=self.cfg.n_features,
+            n_levels=self.cfg.n_levels,
+            scale_factor=self.cfg.scale_factor,
+        )
+        return self._track(frame, use_depth=True)
 
     def process_image_rgbd(self, img, depth, timestamp: float):
         frame = build_frame_rgbd(
@@ -291,7 +307,7 @@ class Tracker:
         """Stereo/RGB-D initialization (Tracking::StereoInitialization):
         one keyframe, points straight from depth."""
         n_depth = int(jnp.sum((frame.depth > 0) & frame.valid))
-        if n_depth < 500:
+        if n_depth < self.cfg.min_depth_init_points:
             return False
         cap = self.cap
         from orb_slam2_test_tpu.geometry.camera import backproject
