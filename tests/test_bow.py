@@ -1,0 +1,162 @@
+"""Tests for the BoW vocabulary and keyframe database."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from orb_slam2_test_tpu.bow import (
+    build_vocabulary,
+    load_text_vocabulary,
+    save_text_vocabulary,
+)
+from orb_slam2_test_tpu.bow.vocabulary import transform, _pack, _unpack
+from orb_slam2_test_tpu.slam_map.keyframe_db import (
+    KeyFrameDatabase,
+    bow_vector,
+    l1_score,
+)
+
+
+def _random_desc(rng, n):
+    return rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+
+
+def _flip_bits(rng, desc, n_flips):
+    """Flip n_flips random bits per descriptor."""
+    bits = _unpack(desc).copy()
+    for i in range(len(bits)):
+        idx = rng.choice(256, n_flips, replace=False)
+        bits[i, idx] ^= 1
+    return _pack(bits)
+
+
+class TestVocabulary:
+    def test_build_and_transform(self, rng):
+        train = _random_desc(rng, 2000)
+        voc = build_vocabulary(train, k=5, depth=3, seed=0)
+        assert voc.n_words > 25
+        words, mids = transform(
+            voc, jnp.asarray(train[:100]), jnp.ones(100, bool)
+        )
+        words = np.asarray(words)
+        assert (words >= 0).all() and (words < voc.n_words).all()
+
+    def test_transform_is_nearest_path(self, rng):
+        """Same descriptor always maps to the same word; similar
+        descriptors usually share words more often than random ones."""
+        train = _random_desc(rng, 3000)
+        voc = build_vocabulary(train, k=6, depth=3, seed=1)
+        base = _random_desc(rng, 200)
+        near = _flip_bits(rng, base, 8)
+        far = _random_desc(rng, 200)
+        w_base = np.asarray(
+            transform(voc, jnp.asarray(base), jnp.ones(200, bool))[0]
+        )
+        w_near = np.asarray(
+            transform(voc, jnp.asarray(near), jnp.ones(200, bool))[0]
+        )
+        w_far = np.asarray(
+            transform(voc, jnp.asarray(far), jnp.ones(200, bool))[0]
+        )
+        same_near = (w_base == w_near).mean()
+        same_far = (w_base == w_far).mean()
+        assert same_near > same_far + 0.2
+
+    def test_invalid_masked(self, rng):
+        train = _random_desc(rng, 1000)
+        voc = build_vocabulary(train, k=4, depth=2, seed=2)
+        valid = jnp.asarray([True, False, True])
+        words, _ = transform(voc, jnp.asarray(train[:3]), valid)
+        assert int(words[1]) == -1
+
+    def test_text_roundtrip(self, rng, tmp_path):
+        train = _random_desc(rng, 800)
+        voc = build_vocabulary(train, k=4, depth=2, seed=3)
+        p = os.path.join(tmp_path, "voc.txt")
+        save_text_vocabulary(voc, p)
+        voc2 = load_text_vocabulary(p)
+        assert voc2.k == voc.k and voc2.n_words == voc.n_words
+        q = jnp.asarray(train[:64])
+        w1 = np.asarray(transform(voc, q, jnp.ones(64, bool))[0])
+        w2 = np.asarray(transform(voc2, q, jnp.ones(64, bool))[0])
+        # word ids may be permuted between the two trees; compare by
+        # partition equality
+        import collections
+
+        m = {}
+        ok = True
+        for a, b in zip(w1, w2):
+            if a in m and m[a] != b:
+                ok = False
+            m[a] = b
+        assert ok
+
+
+class TestKeyFrameDB:
+    def _db_with(self, rng, n_kf, voc):
+        train = _random_desc(rng, 500)
+        db = KeyFrameDatabase(voc.word_weight)
+        all_words = []
+        for i in range(n_kf):
+            desc = _random_desc(rng, 100)
+            w = np.asarray(
+                transform(voc, jnp.asarray(desc), jnp.ones(100, bool))[0]
+            )
+            db.add(i, w)
+            all_words.append(w)
+        return db, all_words
+
+    def test_reloc_candidates_find_similar(self, rng):
+        train = _random_desc(rng, 3000)
+        voc = build_vocabulary(train, k=6, depth=3, seed=4)
+        db = KeyFrameDatabase(voc.word_weight)
+        descs = []
+        for i in range(8):
+            d = _random_desc(rng, 150)
+            descs.append(d)
+            w = np.asarray(
+                transform(voc, jnp.asarray(d), jnp.ones(150, bool))[0]
+            )
+            db.add(i, w)
+        # query: noisy copy of kf 3's descriptors
+        q = _flip_bits(rng, descs[3], 10)
+        wq = np.asarray(
+            transform(voc, jnp.asarray(q), jnp.ones(150, bool))[0]
+        )
+        cands = db.detect_reloc_candidates(wq)
+        assert cands and cands[0] == 3
+
+    def test_loop_candidates_exclude_connected(self, rng):
+        train = _random_desc(rng, 3000)
+        voc = build_vocabulary(train, k=6, depth=3, seed=5)
+        db = KeyFrameDatabase(voc.word_weight)
+        base = _random_desc(rng, 150)
+        for i in range(6):
+            d = _flip_bits(rng, base, 12)  # all similar
+            w = np.asarray(
+                transform(voc, jnp.asarray(d), jnp.ones(150, bool))[0]
+            )
+            db.add(i, w)
+        groups = {i: {i} for i in range(6)}
+        cands = db.detect_loop_candidates(
+            5, min_score=0.0, connected={4, 3}, covis_groups=groups
+        )
+        assert 4 not in cands and 3 not in cands and 5 not in cands
+        assert len(cands) >= 1
+
+    def test_score_self_is_one(self, rng):
+        w = np.arange(50)
+        weights = np.ones(100, np.float32)
+        v = bow_vector(w, weights)
+        assert abs(l1_score(v, v) - 1.0) < 1e-6
+
+    def test_erase(self, rng):
+        train = _random_desc(rng, 1000)
+        voc = build_vocabulary(train, k=4, depth=2, seed=6)
+        db = KeyFrameDatabase(voc.word_weight)
+        d = _random_desc(rng, 50)
+        w = np.asarray(transform(voc, jnp.asarray(d), jnp.ones(50, bool))[0])
+        db.add(0, w)
+        db.erase(0)
+        assert db.detect_reloc_candidates(w) == []
