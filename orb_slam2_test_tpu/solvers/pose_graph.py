@@ -1,0 +1,112 @@
+"""Essential-graph Sim(3) pose-graph optimization.
+
+Replaces Optimizer::OptimizeEssentialGraph (reference: src/Optimizer.cc
+~730): after a loop closure, optimize all keyframe poses as Sim3 nodes
+over the sparse "essential graph" (spanning tree + loop edges + strong
+covisibility edges with weight >= 100), 20 LM iterations, then recover
+SE3 as [R | t/s].
+
+TPU formulation: per-edge residual r = log(S_ji_meas * S_iw * S_jw^-1)
+with autodiff Jacobians ([E, 7, 14] via one vmapped jacfwd), dense
+normal-equation assembly by scatter-add into [7K, 7K] (K <= a few
+hundred keyframes -> a small dense Cholesky per iteration, ideal for
+the MXU; a CG path takes over at larger K).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_test_tpu.geometry.sim3 import (
+    sim3_exp,
+    sim3_inverse,
+    sim3_log,
+)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "fix_scale"))
+def optimize_essential_graph(
+    Scw: jax.Array,  # [K, 4, 4] sim3 world->camera per keyframe
+    node_valid: jax.Array,  # [K]
+    node_fixed: jax.Array,  # [K] (the loop keyframe is held fixed)
+    edge_i: jax.Array,  # [E] int32
+    edge_j: jax.Array,  # [E] int32
+    edge_Sji: jax.Array,  # [E, 4, 4] measured S_jw * S_iw^-1
+    edge_valid: jax.Array,  # [E]
+    edge_weight: jax.Array,  # [E] information scale (1 normally)
+    iters: int = 20,
+    fix_scale: bool = False,
+    damping: float = 1e-6,
+) -> jax.Array:
+    """Returns optimized Scw [K, 4, 4]."""
+    K = Scw.shape[0]
+
+    def edge_residual(xi_i, xi_j, Siw, Sjw, Sji):
+        Si = sim3_exp(xi_i) @ Siw
+        Sj = sim3_exp(xi_j) @ Sjw
+        return sim3_log(Sji @ Si @ sim3_inverse(Sj))  # [7]
+
+    zero = jnp.zeros(7)
+
+    def lm_iter(Scw, _):
+        Siw = Scw[edge_i]
+        Sjw = Scw[edge_j]
+
+        def per_edge(Siw_e, Sjw_e, Sji_e):
+            r = edge_residual(zero, zero, Siw_e, Sjw_e, Sji_e)
+            Ji = jax.jacfwd(
+                lambda xi: edge_residual(xi, zero, Siw_e, Sjw_e, Sji_e)
+            )(zero)
+            Jj = jax.jacfwd(
+                lambda xi: edge_residual(zero, xi, Siw_e, Sjw_e, Sji_e)
+            )(zero)
+            return r, Ji, Jj
+
+        r, Ji, Jj = jax.vmap(per_edge)(Siw, Sjw, edge_Sji)  # [E,7],[E,7,7]x2
+        w = (edge_valid & node_valid[edge_i] & node_valid[edge_j]).astype(
+            jnp.float32
+        ) * edge_weight
+
+        # assemble dense H [K, K, 7, 7] and b [K, 7]
+        wJi = Ji * w[:, None, None]
+        wJj = Jj * w[:, None, None]
+        Hii = jnp.einsum("eki,ekj->eij", Ji, wJi)
+        Hjj = jnp.einsum("eki,ekj->eij", Jj, wJj)
+        Hij = jnp.einsum("eki,ekj->eij", Ji, wJj)
+        bi = -jnp.einsum("eki,ek->ei", Ji, w[:, None] * r)
+        bj = -jnp.einsum("eki,ek->ei", Jj, w[:, None] * r)
+
+        H = jnp.zeros((K, K, 7, 7))
+        H = H.at[edge_i, edge_i].add(Hii)
+        H = H.at[edge_j, edge_j].add(Hjj)
+        H = H.at[edge_i, edge_j].add(Hij)
+        H = H.at[edge_j, edge_i].add(jnp.swapaxes(Hij, -1, -2))
+        b = jnp.zeros((K, 7))
+        b = b.at[edge_i].add(bi)
+        b = b.at[edge_j].add(bj)
+
+        # fixed / invalid nodes: identity rows
+        locked = node_fixed | ~node_valid
+        H = jnp.where(
+            locked[:, None, None, None] | locked[None, :, None, None], 0.0, H
+        )
+        H = H.at[jnp.arange(K), jnp.arange(K)].add(
+            jnp.where(locked[:, None, None], jnp.eye(7)[None], 0.0)
+        )
+        b = jnp.where(locked[:, None], 0.0, b)
+        if fix_scale:
+            # freeze the scale coordinate of every node
+            H = H.at[jnp.arange(K), jnp.arange(K), 6, 6].add(1e12)
+
+        Hd = H.transpose(0, 2, 1, 3).reshape(K * 7, K * 7)
+        Hd = Hd + damping * jnp.eye(K * 7)
+        dx = jnp.linalg.solve(Hd, b.reshape(K * 7)).reshape(K, 7)
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+        new = jax.vmap(lambda d, S: sim3_exp(d) @ S)(dx, Scw)
+        return jnp.where(locked[:, None, None], Scw, new), None
+
+    Scw, _ = jax.lax.scan(lm_iter, Scw, None, length=iters)
+    return Scw
