@@ -191,6 +191,117 @@ def _schur_step(
     return dxc, dxp
 
 
+def _schur_step_cg(
+    prob: BAProblem,
+    cam: PinholeCamera,
+    lam: jax.Array,
+    robust: bool,
+    active: jax.Array,
+    cg_iters: int = 30,
+) -> tuple[jax.Array, jax.Array]:
+    """One LM linearization with the reduced camera system solved by
+    block-Jacobi-preconditioned CG and an IMPLICIT Schur matvec —
+    S v = Hcc v - W Hpp^-1 W^T v evaluated through per-observation
+    segment-sums, never materializing W. This is the global-BA path
+    (Optimizer::BundleAdjustment replacement): memory is O(observations),
+    so the full map fits where the dense [Q, C] Schur of local BA would
+    not. The same matvec psums across devices in distributed BA.
+    """
+    C = prob.cam_Tcw.shape[0]
+    Q = prob.pt_xyz.shape[0]
+    res, Jc, Jp, w = _blocks(prob, cam, robust, active)
+
+    wJc = Jc * w[:, None, None]
+    wJp = Jp * w[:, None, None]
+    Hcc = jnp.zeros((C, 6, 6)).at[prob.obs_cam].add(
+        jnp.einsum("oki,okj->oij", Jc, wJc)
+    )
+    Hpp = jnp.zeros((Q, 3, 3)).at[prob.obs_pt].add(
+        jnp.einsum("oki,okj->oij", Jp, wJp)
+    )
+    bc = jnp.zeros((C, 6)).at[prob.obs_cam].add(
+        -jnp.einsum("oki,ok->oi", Jc, w[:, None] * res.r)
+    )
+    bp = jnp.zeros((Q, 3)).at[prob.obs_pt].add(
+        -jnp.einsum("oki,ok->oi", Jp, w[:, None] * res.r)
+    )
+    Wcp = jnp.einsum("oki,okj->oij", Jc, wJp)  # [O, 6, 3] per-obs cross
+
+    dHc = lam * jnp.maximum(jnp.diagonal(Hcc, axis1=-2, axis2=-1), 1e-6)
+    Hcc_d = Hcc + jax.vmap(jnp.diag)(dHc)
+    dHp = lam * jnp.maximum(jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-6)
+    Hpp_d = Hpp + jax.vmap(jnp.diag)(dHp)
+    seen = jnp.zeros((Q,)).at[prob.obs_pt].add(w) > 0.0
+    Hpp_d = jnp.where(seen[:, None, None], Hpp_d, jnp.eye(3)[None])
+    Hpp_inv = jnp.linalg.inv(Hpp_d)
+
+    fix = prob.cam_fixed
+
+    def schur_matvec(v):  # v [C, 6]
+        v = jnp.where(fix[:, None], 0.0, v)
+        hv = jnp.einsum("cij,cj->ci", Hcc_d, v)
+        u = jnp.zeros((Q, 3)).at[prob.obs_pt].add(
+            jnp.einsum("oji,oj->oi", Wcp, v[prob.obs_cam])
+        )
+        y = jnp.einsum("qij,qj->qi", Hpp_inv, u)
+        wv = jnp.zeros((C, 6)).at[prob.obs_cam].add(
+            jnp.einsum("oij,oj->oi", Wcp, y[prob.obs_pt])
+        )
+        out = hv - wv
+        return jnp.where(fix[:, None], v, out)
+
+    # rhs = bc - W Hpp^-1 bp
+    yb = jnp.einsum("qij,qj->qi", Hpp_inv, bp)
+    rhs = bc - jnp.zeros((C, 6)).at[prob.obs_cam].add(
+        jnp.einsum("oij,oj->oi", Wcp, yb[prob.obs_pt])
+    )
+    rhs = jnp.where(fix[:, None], 0.0, rhs)
+
+    # block-Jacobi preconditioner from Hcc diagonal blocks
+    Minv = jnp.linalg.inv(
+        Hcc_d + 1e-6 * jnp.eye(6)[None]
+    )
+    Minv = jnp.where(fix[:, None, None], jnp.eye(6)[None], Minv)
+
+    def precond(r):
+        return jnp.einsum("cij,cj->ci", Minv, r)
+
+    # PCG, fixed iterations
+    x = jnp.zeros((C, 6))
+    r = rhs - schur_matvec(x)
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z)
+
+    def cg_body(carry, _):
+        x, r, p, rz = carry
+        Ap = schur_matvec(p)
+        denom = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(jnp.abs(denom) > 1e-20, denom, 1e-20)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) > 1e-20, rz, 1e-20)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    (x, r, p, rz), _ = jax.lax.scan(
+        cg_body, (x, r, p, rz), None, length=cg_iters
+    )
+    dxc = jnp.where(jnp.all(jnp.isfinite(x)), x, 0.0)
+    dxc = jnp.where(fix[:, None], 0.0, dxc)
+
+    # back-substitute points
+    u = jnp.zeros((Q, 3)).at[prob.obs_pt].add(
+        jnp.einsum("oji,oj->oi", Wcp, dxc[prob.obs_cam])
+    )
+    dxp = jnp.einsum("qij,qj->qi", Hpp_inv, bp - u)
+    dxp = jnp.where((seen & prob.pt_valid)[:, None], dxp, 0.0)
+    dxp = jnp.where(jnp.all(jnp.isfinite(dxp)), dxp, 0.0)
+    return dxc, dxp
+
+
 def _apply_update(prob: BAProblem, dxc, dxp) -> BAProblem:
     new_Tcw = jax.vmap(lambda d, T: se3_exp(d) @ T)(dxc, prob.cam_Tcw)
     new_Tcw = jnp.where(
@@ -200,13 +311,17 @@ def _apply_update(prob: BAProblem, dxc, dxp) -> BAProblem:
     return prob._replace(cam_Tcw=new_Tcw, pt_xyz=new_xyz)
 
 
-@functools.partial(jax.jit, static_argnames=("iters1", "iters2"))
+@functools.partial(
+    jax.jit, static_argnames=("iters1", "iters2", "solver", "cg_iters")
+)
 def bundle_adjust(
     prob: BAProblem,
     cam: PinholeCamera,
     iters1: int = 5,
     iters2: int = 10,
     lam0: float = 1e-4,
+    solver: str = "dense",
+    cg_iters: int = 30,
 ) -> BAResult:
     """LM schedule mirroring Optimizer::LocalBundleAdjustment: `iters1`
     robust iterations, then outlier down-weighting (chi2 gate), then
@@ -216,7 +331,10 @@ def bundle_adjust(
 
     def lm_iter(carry, robust, active):
         prob, lam, cost = carry
-        dxc, dxp = _schur_step(prob, cam, lam, robust, active)
+        if solver == "cg":
+            dxc, dxp = _schur_step_cg(prob, cam, lam, robust, active, cg_iters)
+        else:
+            dxc, dxp = _schur_step(prob, cam, lam, robust, active)
         cand = _apply_update(prob, dxc, dxp)
         new_cost = _robust_cost(cand, cam, active)
         accept = new_cost < cost

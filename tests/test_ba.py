@@ -123,3 +123,23 @@ class TestBundleAdjust:
         c0 = float(_robust_cost(prob, cam))
         res = bundle_adjust(prob, cam)
         assert float(res.cost) < 0.1 * c0
+
+
+class TestCGSolver:
+    def test_cg_matches_dense(self, rng):
+        """The implicit-Schur CG path must reach the same optimum as the
+        dense Schur path (global-BA solver correctness)."""
+        cam, prob, T_true, X_true = make_ba_problem(rng, n_fixed=2)
+        r_dense = bundle_adjust(prob, cam)
+        r_cg = bundle_adjust(prob, cam, solver="cg", cg_iters=40)
+        np.testing.assert_allclose(
+            np.asarray(r_cg.cam_Tcw), np.asarray(r_dense.cam_Tcw), atol=2e-3
+        )
+        assert float(r_cg.cost) < 1.2 * float(r_dense.cost) + 1.0
+
+    def test_cg_stereo(self, rng):
+        cam, prob, T_true, X_true = make_ba_problem(rng, stereo=True)
+        res = bundle_adjust(prob, cam, solver="cg", cg_iters=40)
+        for c in range(1, T_true.shape[0]):
+            err = se3_log(res.cam_Tcw[c] @ se3_inverse(T_true[c]))
+            assert float(jnp.linalg.norm(err[:3])) < 0.02, c
