@@ -145,7 +145,21 @@ def build_frame_rgbd(
     xi = jnp.clip(jnp.round(f.uv[:, 0]).astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(jnp.round(f.uv[:, 1]).astype(jnp.int32), 0, h - 1)
     d = depth_map[yi, xi]
-    has_d = d > 0.0
+    # depth-edge rejection: a keypoint on an occlusion boundary has an
+    # ambiguous depth (could belong to either surface); its backprojected
+    # point would pollute the map. Reject if the 3x3 neighborhood's
+    # depth spread exceeds 5% of the center depth — standard RGB-D
+    # practice (the reference relies on TUM's clean interior depths).
+    pos = jnp.where(depth_map > 0.0, depth_map, jnp.inf)
+    dmin = -jax.lax.reduce_window(
+        -pos, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    dmax = jax.lax.reduce_window(
+        jnp.where(depth_map > 0.0, depth_map, -jnp.inf),
+        -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME",
+    )
+    spread_ok = (dmax[yi, xi] - dmin[yi, xi]) < 0.05 * jnp.maximum(d, 1e-6)
+    has_d = (d > 0.0) & spread_ok
     ur = jnp.where(has_d, uv_un[:, 0] - cam.bf / jnp.maximum(d, 1e-6), -1.0)
     return FrameData(
         uv=uv_un,

@@ -1,0 +1,381 @@
+"""Loop closing: detect -> Sim3 -> correct -> pose graph -> global BA.
+
+Replaces src/LoopClosing.cc. Pipeline per new keyframe (the reference
+runs this in a third pthread at lower cadence; here it is invoked after
+keyframe insertion, with every numeric stage jitted):
+
+  DetectLoop      -> BoW candidates (slam_map/keyframe_db) + the
+                     covisibility-consistency chain (>= 3 consecutive
+                     detections, reference threshold).
+  ComputeSim3     -> descriptor matching between current and candidate
+                     keyframe map points, batched Horn Sim3 RANSAC
+                     (solvers/sim3_solver), GN Sim3 refinement.
+  CorrectLoop     -> propagate the corrected Sim3 to the current
+                     keyframe's covisible group, transform their points,
+                     fuse duplicates, optimize the essential graph
+                     (solvers/pose_graph), then a CG global BA
+                     (solvers/ba_core solver="cg").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_test_tpu.bow.vocabulary import Vocabulary, transform
+from orb_slam2_test_tpu.engine.frame import FrameData
+from orb_slam2_test_tpu.engine.matchers import match_by_descriptor_to_map, search_by_projection
+from orb_slam2_test_tpu.geometry.se3 import se3_inverse
+from orb_slam2_test_tpu.geometry.sim3 import (
+    se3_from_sim3,
+    sim3_apply,
+    sim3_compose,
+    sim3_from_se3,
+    sim3_inverse,
+)
+from orb_slam2_test_tpu.slam_map.covisibility import covisibility_weights
+from orb_slam2_test_tpu.slam_map.keyframe_db import KeyFrameDatabase
+from orb_slam2_test_tpu.slam_map.mapstate import MapState
+from orb_slam2_test_tpu.solvers.ba_core import BAProblem, bundle_adjust
+from orb_slam2_test_tpu.solvers.pose_graph import optimize_essential_graph
+from orb_slam2_test_tpu.solvers.sim3_solver import optimize_sim3, sim3_ransac
+
+# reference constants
+MIN_KF_GAP = 10  # KFs since last loop before detecting again
+CONSISTENCY_TH = 3
+MIN_SIM3_MATCHES = 20
+MIN_SIM3_INLIERS = 20
+COVIS_EDGE_MIN = 100  # strong-covisibility essential-graph edges
+EDGE_CAP = 4096
+
+
+def _kf_as_frame(m: MapState, kf: int) -> FrameData:
+    return FrameData(
+        uv=m.kf_uv[kf],
+        uv_raw=m.kf_uv[kf],
+        level=m.kf_level[kf],
+        angle=m.kf_angle[kf],
+        desc=m.kf_desc[kf],
+        valid=m.kf_kp_valid[kf],
+        ur=m.kf_ur[kf],
+        depth=m.kf_depth[kf],
+        timestamp=m.kf_timestamp[kf],
+    )
+
+
+class LoopCloser:
+    def __init__(
+        self,
+        cam,
+        voc: Vocabulary,
+        fix_scale: bool = False,
+        seed: int = 7,
+        min_kf_gap: int = MIN_KF_GAP,
+    ):
+        self.cam = cam
+        self.voc = voc
+        self.db = KeyFrameDatabase(voc.word_weight)
+        self.fix_scale = fix_scale
+        self.key = jax.random.PRNGKey(seed)
+        self.consistent_groups: list[tuple[set, int]] = []
+        self.last_loop_kf = -1
+        self.min_kf_gap = min_kf_gap
+        self.n_loops_closed = 0
+
+    # ------------------------------------------------------------------
+    def kf_words(self, m: MapState, kf: int) -> np.ndarray:
+        w, _ = transform(self.voc, m.kf_desc[kf], m.kf_kp_valid[kf])
+        return np.asarray(w)
+
+    def on_new_keyframe(self, m: MapState, kf_id: int):
+        """Returns (map, loop_closed: bool). Adds the KF to the database
+        either way (reference DetectLoop adds at the end)."""
+        words = self.kf_words(m, kf_id)
+
+        covw = np.asarray(covisibility_weights(m, jnp.asarray([kf_id]))[0])
+        connected = set(np.nonzero(covw >= 15)[0].tolist())
+
+        loop_closed = False
+        candidate = None
+        if (
+            len(self.db.words) >= 3
+            and kf_id - self.last_loop_kf > self.min_kf_gap
+        ):
+            candidate = self._detect_loop(m, kf_id, words, connected)
+        if candidate is not None:
+            ok, m = self._compute_and_correct(m, kf_id, candidate)
+            loop_closed = ok
+            if ok:
+                self.last_loop_kf = kf_id
+                self.n_loops_closed += 1
+
+        self.db.add(kf_id, words)
+        return m, loop_closed
+
+    # ------------------------------------------------------------------
+    def _detect_loop(self, m, kf_id, words, connected):
+        # min reference score vs covisible keyframes (reference: minScore)
+        qv_scores = []
+        from orb_slam2_test_tpu.slam_map.keyframe_db import bow_vector, l1_score
+
+        qv = bow_vector(words, self.db.word_weights)
+        for c in connected:
+            if c in self.db.bow:
+                qv_scores.append(l1_score(qv, self.db.bow[c]))
+        min_score = min(qv_scores) if qv_scores else 0.3
+
+        # covisibility groups of candidates for accumulation
+        valid_kfs = [k for k in self.db.words]
+        covis_groups = {}
+        if valid_kfs:
+            W = np.asarray(
+                covisibility_weights(m, jnp.asarray(valid_kfs, jnp.int32))
+            )
+            for row, k in enumerate(valid_kfs):
+                covis_groups[k] = set(
+                    np.nonzero(W[row] >= 15)[0].tolist()
+                ) | {k}
+
+        self.db.bow[kf_id] = qv  # temporary for scoring
+        self.db.words[kf_id] = words
+        try:
+            cands = self.db.detect_loop_candidates(
+                kf_id, min_score, connected, covis_groups
+            )
+        finally:
+            del self.db.bow[kf_id]
+            del self.db.words[kf_id]
+
+        # covisibility-consistency chaining (reference: candidate's group
+        # must intersect a group seen in >= 3 consecutive detections)
+        new_groups: list[tuple[set, int]] = []
+        enough: list[int] = []
+        for cand in cands:
+            group = covis_groups.get(cand, {cand})
+            count = 0
+            for prev_group, prev_count in self.consistent_groups:
+                if group & prev_group:
+                    count = max(count, prev_count + 1)
+            new_groups.append((group, count))
+            if count >= CONSISTENCY_TH - 1:
+                enough.append(cand)
+        self.consistent_groups = new_groups
+        return enough[0] if enough else None
+
+    # ------------------------------------------------------------------
+    def _compute_and_correct(self, m: MapState, kf_id: int, cand: int):
+        # match current KF features against candidate KF's map points
+        frame = _kf_as_frame(m, kf_id)
+        row_c = m.kf_pt_idx[cand]
+        has_c = row_c >= 0
+        pm = match_by_descriptor_to_map(
+            frame,
+            m.pt_desc[jnp.clip(row_c, 0)],
+            has_c & m.kf_kp_valid[cand],
+            jnp.where(has_c, row_c, -1),
+        )
+        # pairs: current feature n has own point AND matched candidate point
+        own = m.kf_pt_idx[kf_id]
+        pair_ok = (own >= 0) & (pm.feat_pt >= 0)
+        if int(jnp.sum(pair_ok)) < MIN_SIM3_MATCHES:
+            return False, m
+
+        X1 = m.pt_xyz[jnp.clip(own, 0)]
+        X2 = m.pt_xyz[jnp.clip(pm.feat_pt, 0)]
+        T1 = m.kf_Tcw[kf_id]
+        T2 = m.kf_Tcw[cand]
+        pc1 = X1 @ T1[:3, :3].T + T1[:3, 3]
+        pc2 = X2 @ T2[:3, :3].T + T2[:3, 3]
+
+        self.key, sub = jax.random.split(self.key)
+        res = sim3_ransac(
+            self.cam, pc1, pc2, pair_ok, sub,
+            fix_scale=self.fix_scale, min_inliers=MIN_SIM3_INLIERS,
+        )
+        if not bool(res.success):
+            return False, m
+        S12, inl, n = optimize_sim3(
+            self.cam, res.S12, pc1, pc2, pair_ok & res.inliers,
+            fix_scale=self.fix_scale,
+        )
+        if int(n) < MIN_SIM3_INLIERS:
+            return False, m
+
+        m = self._correct_loop(m, kf_id, cand, S12)
+        return True, m
+
+    # ------------------------------------------------------------------
+    def _correct_loop(self, m: MapState, kf_id: int, cand: int, S12):
+        K = m.kf_valid.shape[0]
+        P = m.pt_valid.shape[0]
+        valid_np = np.asarray(m.kf_valid)
+
+        # corrected Sim3 of the current KF: Scw = S_cur_cand * S_cand_w
+        S_cand_w = sim3_from_se3(m.kf_Tcw[cand])
+        Scw_corr = sim3_compose(S12, S_cand_w)
+
+        # current KF's covisible group gets the same correction
+        covw = np.asarray(covisibility_weights(m, jnp.asarray([kf_id]))[0])
+        group = set(np.nonzero(covw >= 15)[0].tolist()) | {kf_id}
+        group_mask_np = np.zeros(K, bool)
+        for g in group:
+            group_mask_np[g] = True
+        group_mask = jnp.asarray(group_mask_np)
+
+        T_cur_inv = se3_inverse(m.kf_Tcw[kf_id])
+        S_old_all = sim3_from_se3(m.kf_Tcw)  # [K, 4, 4]
+        S_i_cur = sim3_from_se3(m.kf_Tcw @ T_cur_inv[None])
+        S_corr_all = jax.vmap(lambda s: sim3_compose(s, Scw_corr))(S_i_cur)
+        S_new_all = jnp.where(
+            group_mask[:, None, None], S_corr_all, S_old_all
+        )
+
+        # move the group's map points: X' = S_new^-1 * S_old * X, with
+        # each point corrected through its reference keyframe if that
+        # keyframe is in the group (reference corrects via mnCorrectedByKF)
+        ref = jnp.clip(m.pt_ref_kf, 0)
+        pt_in_group = group_mask[ref] & m.pt_valid & (m.pt_ref_kf >= 0)
+        corr = jax.vmap(
+            lambda a, b: sim3_compose(sim3_inverse(a), b)
+        )(S_new_all, S_old_all)  # [K, 4, 4] point-correction per ref KF
+        X_new = jax.vmap(sim3_apply)(corr[ref], m.pt_xyz)
+        m = m._replace(
+            pt_xyz=jnp.where(pt_in_group[:, None], X_new, m.pt_xyz),
+            kf_Tcw=jnp.where(
+                group_mask[:, None, None],
+                jax.vmap(se3_from_sim3)(S_new_all),
+                m.kf_Tcw,
+            ),
+        )
+
+        # ---- SearchAndFuse: project loop-side points into the corrected
+        # group keyframes and merge duplicate landmarks
+        covw_c = np.asarray(covisibility_weights(m, jnp.asarray([cand]))[0])
+        loop_side = set(np.nonzero(covw_c >= 15)[0].tolist()) | {cand}
+        loop_pts_mask = np.zeros(P, bool)
+        kf_pt_np = np.asarray(m.kf_pt_idx)
+        for g in loop_side:
+            pts = kf_pt_np[g]
+            loop_pts_mask[pts[pts >= 0]] = True
+        loop_pts = jnp.asarray(loop_pts_mask) & m.pt_valid
+
+        for g in sorted(group):
+            frame_g = _kf_as_frame(m, g)
+            pmf = search_by_projection(
+                self.cam, m.kf_Tcw[g],
+                m.pt_xyz, m.pt_desc, loop_pts,
+                m.pt_normal, m.pt_min_dist, m.pt_max_dist,
+                jnp.arange(P, dtype=jnp.int32),
+                frame_g, radius=4.0, check_view_cos=False,
+            )
+            # replace: features that matched a loop point adopt it
+            row = m.kf_pt_idx[g]
+            new_row = jnp.where(pmf.feat_pt >= 0, pmf.feat_pt, row)
+            m = m._replace(kf_pt_idx=m.kf_pt_idx.at[g].set(new_row))
+
+        # ---- essential graph optimization
+        S_nodes = sim3_from_se3(m.kf_Tcw)  # post-correction poses
+        edges_i, edges_j, meas = [], [], []
+        valid_ids = np.nonzero(valid_np)[0]
+        S_old_np = S_old_all  # pre-correction sim3 poses (device array)
+
+        def rel(i, j, S_all):
+            return sim3_compose(S_all[j], sim3_inverse(S_all[i]))
+
+        # sequential chain (spanning-tree proxy: insertion order)
+        for a, b in zip(valid_ids[:-1], valid_ids[1:]):
+            edges_i.append(int(a))
+            edges_j.append(int(b))
+        # strong covisibility edges
+        Wfull = np.asarray(covisibility_weights(m))
+        strong = np.argwhere(np.triu(Wfull, 1) >= COVIS_EDGE_MIN)
+        for a, b in strong:
+            edges_i.append(int(a))
+            edges_j.append(int(b))
+        n_pre = len(edges_i)
+        # measurements from PRE-correction poses
+        ei = jnp.asarray(edges_i, jnp.int32)
+        ej = jnp.asarray(edges_j, jnp.int32)
+        meas = jax.vmap(lambda a, b: rel(a, b, S_old_np))(ei, ej)
+        # loop edge with the measured Sim3 (post-correction relative)
+        loop_meas = rel(
+            jnp.asarray(cand), jnp.asarray(kf_id), S_nodes
+        )[None]
+        ei = jnp.concatenate([ei, jnp.asarray([cand], jnp.int32)])
+        ej = jnp.concatenate([ej, jnp.asarray([kf_id], jnp.int32)])
+        meas = jnp.concatenate([meas, loop_meas])
+
+        E = ei.shape[0]
+        pad = EDGE_CAP - E
+        if pad < 0:
+            ei, ej, meas = ei[:EDGE_CAP], ej[:EDGE_CAP], meas[:EDGE_CAP]
+            pad = 0
+        ei = jnp.concatenate([ei, jnp.zeros(pad, jnp.int32)])
+        ej = jnp.concatenate([ej, jnp.zeros(pad, jnp.int32)])
+        meas = jnp.concatenate(
+            [meas, jnp.tile(jnp.eye(4)[None], (pad, 1, 1))]
+        )
+        evalid = jnp.arange(EDGE_CAP) < E
+
+        fixed = jnp.zeros(K, bool).at[cand].set(True)
+        S_opt = optimize_essential_graph(
+            S_nodes, m.kf_valid, fixed, ei, ej, meas, evalid,
+            jnp.ones(EDGE_CAP), fix_scale=self.fix_scale,
+        )
+
+        # recover SE3 + correct every point through its reference KF
+        corr2 = jax.vmap(
+            lambda new, old: sim3_compose(sim3_inverse(new), old)
+        )(S_opt, S_nodes)
+        ref = jnp.clip(m.pt_ref_kf, 0)
+        X2 = jax.vmap(sim3_apply)(corr2[ref], m.pt_xyz)
+        ok_pt = m.pt_valid & (m.pt_ref_kf >= 0)
+        m = m._replace(
+            pt_xyz=jnp.where(ok_pt[:, None], X2, m.pt_xyz),
+            kf_Tcw=jnp.where(
+                m.kf_valid[:, None, None],
+                jax.vmap(se3_from_sim3)(S_opt),
+                m.kf_Tcw,
+            ),
+        )
+
+        # ---- global BA (reference launches RunGlobalBundleAdjustment)
+        m = self._global_ba(m)
+        return m
+
+    # ------------------------------------------------------------------
+    def _global_ba(self, m: MapState, iters: int = 8):
+        K, N = m.kf_pt_idx.shape
+        cam_ids = jnp.arange(K, dtype=jnp.int32)
+        uvr = jnp.concatenate([m.kf_uv, m.kf_ur[..., None]], axis=-1)
+        obs_ok = (m.kf_pt_idx >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+        # sigma by level
+        from orb_slam2_test_tpu.slam_map.mapstate import MapCapacity
+
+        level_sigma2 = 1.2 ** (
+            2.0 * m.kf_level.astype(jnp.float32)
+        )
+        prob = BAProblem(
+            cam_Tcw=m.kf_Tcw,
+            cam_fixed=(jnp.arange(K) == 0) | ~m.kf_valid,
+            pt_xyz=m.pt_xyz,
+            pt_valid=m.pt_valid,
+            obs_cam=jnp.broadcast_to(
+                cam_ids[:, None], (K, N)
+            ).reshape(-1),
+            obs_pt=jnp.clip(m.kf_pt_idx, 0).reshape(-1),
+            obs_uvr=uvr.reshape(-1, 3),
+            obs_isig2=(1.0 / level_sigma2).reshape(-1),
+            obs_valid=obs_ok.reshape(-1),
+        )
+        res = bundle_adjust(
+            prob, self.cam, iters1=3, iters2=iters - 3, solver="cg",
+            cg_iters=30,
+        )
+        return m._replace(
+            kf_Tcw=jnp.where(
+                m.kf_valid[:, None, None], res.cam_Tcw, m.kf_Tcw
+            ),
+            pt_xyz=jnp.where(m.pt_valid[:, None], res.pt_xyz, m.pt_xyz),
+        )

@@ -126,7 +126,19 @@ class Tracker:
         self.frames_since_kf = 0
         self.frame_id = 0
         self.trajectory = []  # (timestamp, Tcw np [4,4]) per tracked frame
-        self.stats = {"n_kf": 0, "reloc": 0, "lost_frames": 0}
+        self.stats = {"n_kf": 0, "reloc": 0, "lost_frames": 0, "loops": 0}
+        self.loop_closer = None  # set by enable_place_recognition
+
+    def enable_place_recognition(self, voc, fix_scale: bool = False,
+                                 min_kf_gap: int = 10):
+        """Attach a vocabulary: enables loop closing + relocalization
+        (reference System wires KeyFrameDatabase/LoopClosing the same
+        way at construction)."""
+        from orb_slam2_test_tpu.engine.loop_closing import LoopCloser
+
+        self.loop_closer = LoopCloser(
+            self.cam, voc, fix_scale=fix_scale, min_kf_gap=min_kf_gap
+        )
 
     # ------------------------------------------------------------------
     def process_image_mono(self, img, timestamp: float):
@@ -181,9 +193,12 @@ class Tracker:
             self.last_frame = frame
             return self.current_pose()
 
-        ok = self._track_motion_model(frame)
-        if not ok:
-            ok = self._track_reference_kf(frame)
+        if self.state == TrackingState.LOST:
+            ok = self._relocalize(frame)
+        else:
+            ok = self._track_motion_model(frame)
+            if not ok:
+                ok = self._track_reference_kf(frame)
         if ok:
             ok = self._track_local_map(frame)
         if ok:
@@ -467,6 +482,33 @@ class Tracker:
         )
         return True
 
+    def _relocalize(self, frame: FrameData) -> bool:
+        """Tracking::Relocalization — BoW candidates + PnP RANSAC."""
+        if self.loop_closer is None:
+            # no vocabulary: fall back to trying the reference keyframe
+            return self._track_reference_kf(frame)
+        from orb_slam2_test_tpu.bow.vocabulary import transform
+        from orb_slam2_test_tpu.engine.relocalization import relocalize
+
+        words, _ = transform(self.loop_closer.voc, frame.desc, frame.valid)
+        cands = self.loop_closer.db.detect_reloc_candidates(
+            np.asarray(words)
+        )
+        if not cands:
+            return False
+        ok, Tcw, feat_pt, self.key = relocalize(
+            frame, self.map, self.cam, cands, self.key,
+            self.cap.level_sigma2,
+            min_inliers=self.cfg.min_local_inliers,
+        )
+        if not ok:
+            return False
+        self._prev_Tcw = Tcw
+        self.last_Tcw = Tcw
+        self.cur_feat_pt = feat_pt
+        self.stats["reloc"] += 1
+        return True
+
     # ------------------------------------------------------------------
     # Keyframe insertion + local mapping
     # ------------------------------------------------------------------
@@ -506,6 +548,13 @@ class Tracker:
 
         m = cull_points(m, kf_i)
         m = run_local_ba(m, self.cam, kf_i, self.cap, self.cfg.ba_caps)
+        if self.loop_closer is not None:
+            m, closed = self.loop_closer.on_new_keyframe(m, int(kf))
+            if closed:
+                self.stats["loops"] += 1
+                # poses moved: refresh the tracked pose from the new KF
+                self.last_Tcw = np.asarray(m.kf_Tcw[kf])
+                self.velocity = None
         self.map = m
         self.ref_kf = int(kf)
         self.ref_kf_tracked = self.n_tracked

@@ -71,50 +71,124 @@ def render_frame(
     intensities: np.ndarray,
     background: float = 16.0,
     patches: np.ndarray | None = None,
-) -> np.ndarray:
-    """Render landmarks as textured patches -> float32 [H, W] image.
+    normals: np.ndarray | None = None,
+    ref_dist: np.ndarray | None = None,
+    return_depth: bool = False,
+):
+    """Render landmarks as textured PLANAR QUADS in 3D -> [H, W] image.
 
-    Patches are placed with bilinear subpixel shift so keypoint
-    positions stay consistent across views. Pure NumPy (host-side test
-    utility, not part of the device pipeline).
+    Each landmark is a small textured plane with a fixed world size,
+    projected with the true (affine-approximated) homography per frame,
+    so every texture corner moves exactly like a rigid 3D point —
+    billboard sprites would violate rigidity and corrupt SLAM geometry
+    on rotating trajectories. Pure NumPy (host-side test utility).
+
+    normals: [n, 3] quad normals (default: -z, facing a camera near the
+    origin); ref_dist: [n] nominal viewing distance fixing the quad's
+    world size (default |X|).
     """
     h, w = cam.height, cam.width
     R, t = Tcw[:3, :3], Tcw[:3, 3]
+    n_lm = len(landmarks)
+    if patches is None:
+        patches = _landmark_patches(n_lm)
+    if normals is None:
+        normals = np.tile(
+            np.array([0.0, 0.0, -1.0], np.float32), (n_lm, 1)
+        )
+    if ref_dist is None:
+        ref_dist = np.linalg.norm(landmarks, axis=1)
+    gain = intensities / 255.0
+    size = 2 * _PATCH_R + 1
+
     pc = landmarks @ R.T + t
     z = pc[:, 2]
-    vis = z > 0.1
-    u = cam.fx * pc[:, 0] / np.maximum(z, 0.1) + cam.cx
-    v = cam.fy * pc[:, 1] / np.maximum(z, 0.1) + cam.cy
-    vis &= (u >= -10) & (u < w + 10) & (v >= -10) & (v < h + 10)
+    vis = z > 0.5
+    u0 = cam.fx * pc[:, 0] / np.maximum(z, 0.5) + cam.cx
+    v0 = cam.fy * pc[:, 1] / np.maximum(z, 0.5) + cam.cy
+    vis &= (u0 >= -25) & (u0 < w + 25) & (v0 >= -25) & (v0 < h + 25)
 
-    if patches is None:
-        patches = _landmark_patches(len(landmarks))
-    gain = intensities / 255.0
+    # quad in-plane axes (world): e1 = up x n, e2 = n x e1
+    up = np.array([0.0, 1.0, 0.0], np.float32)
+    e1 = np.cross(np.tile(up, (n_lm, 1)), normals)
+    n1 = np.linalg.norm(e1, axis=1, keepdims=True)
+    e1 = e1 / np.maximum(n1, 1e-6)
+    e2 = np.cross(normals, e1)
+    texel = (ref_dist / cam.fx).astype(np.float32)  # 1 px at ref distance
 
     img = np.full((h, w), background, dtype=np.float32)
-    r = _PATCH_R
+    zbuf = np.full((h, w), np.inf, np.float32)
+    ys_g, xs_g = np.mgrid[0:h, 0:w].astype(np.float32)
+
     for li in np.nonzero(vis)[0]:
-        ui, vi = u[li], v[li]
-        iu, iv = int(np.floor(ui)), int(np.floor(vi))
-        fu, fv = ui - iu, vi - iv
-        # bilinear subpixel placement of the patch
-        p = patches[li] * gain[li]
-        pp = np.zeros((2 * r + 2, 2 * r + 2), np.float32)
-        pp[:-1, :-1] += p * (1 - fv) * (1 - fu)
-        pp[:-1, 1:] += p * (1 - fv) * fu
-        pp[1:, :-1] += p * fv * (1 - fu)
-        pp[1:, 1:] += p * fv * fu
-        y0, x0 = iv - r, iu - r
-        y1, x1 = y0 + 2 * r + 2, x0 + 2 * r + 2
-        sy0, sx0 = max(y0, 0), max(x0, 0)
-        sy1, sx1 = min(y1, h), min(x1, w)
-        if sy0 >= sy1 or sx0 >= sx1:
-            continue
-        img[sy0:sy1, sx0:sx1] = np.maximum(
-            img[sy0:sy1, sx0:sx1],
-            pp[sy0 - y0 : sy1 - y0, sx0 - x0 : sx1 - x0],
+        # camera-frame axes steps per texel
+        d1 = R @ e1[li] * texel[li]
+        d2 = R @ e2[li] * texel[li]
+        x, y, zz = pc[li]
+        # image Jacobian d(uv)/d(texel): du = fx (d1x z - x d1z)/z^2 ...
+        A = np.array(
+            [
+                [
+                    cam.fx * (d1[0] * zz - x * d1[2]) / zz**2,
+                    cam.fx * (d2[0] * zz - x * d2[2]) / zz**2,
+                ],
+                [
+                    cam.fy * (d1[1] * zz - y * d1[2]) / zz**2,
+                    cam.fy * (d2[1] * zz - y * d2[2]) / zz**2,
+                ],
+            ]
         )
-    return np.clip(img, 0.0, 255.0)
+        det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+        if abs(det) < 1e-9:
+            continue
+        Ainv = np.array(
+            [[A[1, 1], -A[0, 1]], [-A[1, 0], A[0, 0]]]
+        ) / det
+        # bounding box from transformed patch corners
+        corners = A @ np.array(
+            [[-_PATCH_R, _PATCH_R, -_PATCH_R, _PATCH_R],
+             [-_PATCH_R, -_PATCH_R, _PATCH_R, _PATCH_R]],
+            np.float32,
+        )
+        x0 = max(int(np.floor(u0[li] + corners[0].min())), 0)
+        x1 = min(int(np.ceil(u0[li] + corners[0].max())) + 1, w)
+        y0 = max(int(np.floor(v0[li] + corners[1].min())), 0)
+        y1 = min(int(np.ceil(v0[li] + corners[1].max())) + 1, h)
+        if x0 >= x1 or y0 >= y1:
+            continue
+        px = xs_g[y0:y1, x0:x1] - u0[li]
+        py = ys_g[y0:y1, x0:x1] - v0[li]
+        t1 = Ainv[0, 0] * px + Ainv[0, 1] * py  # texel coords
+        t2 = Ainv[1, 0] * px + Ainv[1, 1] * py
+        inside = (np.abs(t1) < _PATCH_R) & (np.abs(t2) < _PATCH_R)
+        if not inside.any():
+            continue
+        # bilinear texture sample
+        tx = np.clip(t1 + _PATCH_R, 0, size - 1.001)
+        ty = np.clip(t2 + _PATCH_R, 0, size - 1.001)
+        ix = tx.astype(np.int32)
+        iy = ty.astype(np.int32)
+        fx_ = tx - ix
+        fy_ = ty - iy
+        p = patches[li] * gain[li]
+        val = (
+            p[iy, ix] * (1 - fy_) * (1 - fx_)
+            + p[iy, ix + 1] * (1 - fy_) * fx_
+            + p[iy + 1, ix] * fy_ * (1 - fx_)
+            + p[iy + 1, ix + 1] * fy_ * fx_
+        )
+        # exact per-pixel depth on the quad surface
+        zq = zz + t1 * d1[2] + t2 * d2[2]
+        sub_img = img[y0:y1, x0:x1]
+        sub_z = zbuf[y0:y1, x0:x1]
+        put = inside & (zq < sub_z)
+        sub_img[put] = val[put]
+        sub_z[put] = zq[put]
+    img = np.clip(img, 0.0, 255.0)
+    if return_depth:
+        depth = np.where(np.isfinite(zbuf), zbuf, 0.0).astype(np.float32)
+        return img, depth
+    return img
 
 
 def make_sequence(

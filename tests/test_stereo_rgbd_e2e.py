@@ -81,6 +81,7 @@ CFG = dict(
     n_triangulate_neighbors=2,
     min_depth_init_points=100,
     max_frames_between_kf=4,
+    min_local_inliers=20,
 )
 
 
