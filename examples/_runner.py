@@ -1,0 +1,104 @@
+"""Shared driver loop for the example mains (reference Examples/*:
+load images -> per-frame System::Track* -> timing stats -> trajectory
+save). Each dataset script builds a Sequence + System and calls run()."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+# allow running the scripts directly from a source checkout
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from orb_slam2_test_tpu.system import System
+from orb_slam2_test_tpu.io.datasets import Sequence
+
+
+def common_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("settings", help="settings YAML (reference format)")
+    p.add_argument("sequence", help="dataset sequence directory")
+    p.add_argument(
+        "--vocabulary", default=None,
+        help="DBoW2 text vocabulary (enables loop closing + reloc)",
+    )
+    p.add_argument("--traj-out", default="CameraTrajectory.txt")
+    p.add_argument("--kf-traj-out", default="KeyFrameTrajectory.txt")
+    p.add_argument("--checkpoint-out", default=None, help="save map npz")
+    p.add_argument("--load-checkpoint", default=None)
+    p.add_argument("--localization-only", action="store_true")
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--viewer", action="store_true")
+    p.add_argument(
+        "--groundtruth", default=None,
+        help="TUM-format groundtruth file: print ATE at exit",
+    )
+    p.add_argument("--kitti-traj", action="store_true",
+                   help="save trajectory in KITTI format")
+    return p
+
+
+def run(system: System, seq: Sequence, args) -> int:
+    n = len(seq) if args.max_frames is None else min(len(seq), args.max_frames)
+    if args.load_checkpoint:
+        system.load_checkpoint(args.load_checkpoint)
+    if args.localization_only:
+        system.activate_localization_mode()
+
+    print(f"Processing {n} frames ({seq.kind}) ...")
+    t_start = time.time()
+    for i, it in enumerate(seq.items[:n]):
+        data = seq.load(it)
+        if seq.kind == "mono":
+            system.track_monocular(data[1], data[0])
+        elif seq.kind == "stereo":
+            system.track_stereo(data[1], data[2], data[0])
+        else:
+            system.track_rgbd(data[1], data[2], data[0])
+        if (i + 1) % 50 == 0:
+            st = system.timing_stats()
+            print(
+                f"  frame {i + 1}/{n}  state={system.tracking_state}"
+                f"  kf={system.tracker.stats['n_kf']}"
+                f"  median={st['median_s'] * 1e3:.1f} ms"
+            )
+    wall = time.time() - t_start
+    system.shutdown()
+
+    st = system.timing_stats()
+    print("-" * 60)
+    print(f"median tracking time: {st.get('median_s', 0) * 1e3:.2f} ms")
+    print(f"mean tracking time:   {st.get('mean_s', 0) * 1e3:.2f} ms")
+    print(f"wall time:            {wall:.1f} s ({n / wall:.1f} fps)")
+    print(
+        f"keyframes: {system.tracker.stats['n_kf']}  "
+        f"loops: {system.tracker.stats['loops']}  "
+        f"relocs: {system.tracker.stats['reloc']}  "
+        f"lost frames: {system.tracker.stats['lost_frames']}"
+    )
+
+    if args.kitti_traj:
+        system.save_trajectory_kitti(args.traj_out)
+    else:
+        system.save_trajectory_tum(args.traj_out)
+    system.save_keyframe_trajectory_tum(args.kf_traj_out)
+    print(f"trajectory saved to {args.traj_out}")
+    if args.checkpoint_out:
+        system.save_checkpoint(args.checkpoint_out)
+        print(f"map checkpoint saved to {args.checkpoint_out}")
+
+    if args.groundtruth:
+        from orb_slam2_test_tpu.evaluation import absolute_trajectory_error
+        from orb_slam2_test_tpu.io.trajectory import load_trajectory_tum
+
+        gt = load_trajectory_tum(args.groundtruth)
+        est = system.tracker.export_trajectory()
+        res = absolute_trajectory_error(
+            est, gt, with_scale=(seq.kind == "mono")
+        )
+        print(f"ATE RMSE: {res['rmse']:.4f} m over {res['n_pairs']} pairs")
+    return 0

@@ -1,0 +1,24 @@
+"""KITTI odometry monocular driver (reference
+Examples/Monocular/mono_kitti.cc).
+
+Usage: python examples/mono_kitti.py KITTI00-02.yaml /data/kitti/sequences/00
+"""
+
+import sys, os
+sys.path.insert(0, os.path.dirname(__file__))
+
+from _runner import common_parser, run
+from orb_slam2_test_tpu.system import System, MONOCULAR
+from orb_slam2_test_tpu.io.datasets import load_kitti
+
+
+def main():
+    args = common_parser(__doc__).parse_args()
+    seq = load_kitti(args.sequence, stereo=False)
+    system = System(args.settings, MONOCULAR, vocabulary=args.vocabulary,
+                    use_viewer=args.viewer)
+    return run(system, seq, args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -13,6 +13,7 @@ import dataclasses
 import functools
 
 import jax
+from orb_slam2_test_tpu.utils.precision import f32_matmuls
 import jax.numpy as jnp
 
 from orb_slam2_test_tpu.geometry.camera import PinholeCamera
@@ -42,6 +43,7 @@ class LocalBACaps:
     n_points: int = 4096  # optimizable points
 
 
+@f32_matmuls
 @functools.partial(jax.jit, static_argnames=("cam", "cap"))
 def triangulate_with_neighbor(
     m: MapState,
@@ -155,6 +157,7 @@ def triangulate_with_neighbor(
     return m_out, jnp.sum(created & nbr_ok)
 
 
+@f32_matmuls
 @functools.partial(jax.jit, static_argnames=("cam", "cap", "caps"))
 def run_local_ba(
     m: MapState,
@@ -269,6 +272,7 @@ def run_local_ba(
     return m._replace(kf_Tcw=new_Tcw, pt_xyz=new_xyz, kf_pt_idx=new_pt_idx)
 
 
+@f32_matmuls
 @functools.partial(jax.jit, static_argnames=())
 def cull_points(m: MapState, current_kf: jax.Array) -> MapState:
     """MapPointCulling: drop points with found-ratio < 0.25 or points

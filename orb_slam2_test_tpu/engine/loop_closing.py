@@ -113,6 +113,15 @@ class LoopCloser:
         self.db.add(kf_id, words)
         return m, loop_closed
 
+    def rebuild_from_map(self, m: MapState) -> None:
+        """Recompute the keyframe database from a (restored) map: BoW
+        word lists are derivable state, so checkpoints don't store them
+        (io/checkpoint.py load_tracker)."""
+        self.db = KeyFrameDatabase(self.voc.word_weight)
+        self.consistent_groups = []
+        for kf in np.nonzero(np.asarray(m.kf_valid))[0]:
+            self.db.add(int(kf), self.kf_words(m, int(kf)))
+
     # ------------------------------------------------------------------
     def _detect_loop(self, m, kf_id, words, connected):
         # min reference score vs covisible keyframes (reference: minScore)

@@ -17,6 +17,7 @@ import functools
 from typing import NamedTuple
 
 import jax
+from orb_slam2_test_tpu.utils.precision import f32_matmuls
 import jax.numpy as jnp
 
 from orb_slam2_test_tpu.geometry.camera import PinholeCamera
@@ -66,6 +67,7 @@ def _resolve_conflicts(
     return feat_pt, pt_feat
 
 
+@f32_matmuls
 @functools.partial(
     jax.jit,
     static_argnames=("cam", "n_levels", "ratio", "check_view_cos"),
@@ -167,6 +169,7 @@ def search_by_projection(
     )
 
 
+@f32_matmuls
 @functools.partial(jax.jit, static_argnames=("window", "max_hamming"))
 def search_for_initialization(
     f1: FrameData,
@@ -202,6 +205,7 @@ def search_for_initialization(
     return m12, jnp.sum((m12 >= 0).astype(jnp.int32))
 
 
+@f32_matmuls
 @functools.partial(jax.jit, static_argnames=("cam",))
 def search_for_triangulation(
     cam: PinholeCamera,
@@ -258,6 +262,7 @@ def search_for_triangulation(
     return m12, jnp.sum((m12 >= 0).astype(jnp.int32))
 
 
+@f32_matmuls
 @functools.partial(jax.jit, static_argnames=())
 def match_by_descriptor_to_map(
     frame: FrameData,

@@ -126,8 +126,17 @@ class Tracker:
         self.frames_since_kf = 0
         self.frame_id = 0
         self.trajectory = []  # (timestamp, Tcw np [4,4]) per tracked frame
+        # loop-consistent export: (timestamp, ref_kf, T_cr) with
+        # Tcw = T_cr @ kf_Tcw[ref_kf] recomputed at save time against the
+        # BA/loop-corrected keyframe poses (reference
+        # mlRelativeFramePoses + SaveTrajectory* spanning-tree walk)
+        self.rel_trajectory = []
         self.stats = {"n_kf": 0, "reloc": 0, "lost_frames": 0, "loops": 0}
         self.loop_closer = None  # set by enable_place_recognition
+        # localization-only: track against a frozen map, never insert
+        # keyframes (reference System::ActivateLocalizationMode ->
+        # Tracking::InformOnlyTracking)
+        self.localization_only = False
 
     def enable_place_recognition(self, voc, fix_scale: bool = False,
                                  min_kf_gap: int = 10):
@@ -206,10 +215,19 @@ class Tracker:
             self.velocity = self.last_Tcw @ np.asarray(
                 se3_inverse(jnp.asarray(self._prev_Tcw))
             )
-            self._maybe_insert_keyframe(frame, use_depth)
+            if not self.localization_only:
+                self._maybe_insert_keyframe(frame, use_depth)
             self.last_feat_pt = self.cur_feat_pt
             self.trajectory.append(
                 (float(frame.timestamp), np.asarray(self.last_Tcw))
+            )
+            T_ref = np.asarray(self.map.kf_Tcw[self.ref_kf])
+            self.rel_trajectory.append(
+                (
+                    float(frame.timestamp),
+                    int(self.ref_kf),
+                    self.last_Tcw @ np.linalg.inv(T_ref),
+                )
             )
         else:
             self.state = TrackingState.LOST
@@ -221,6 +239,52 @@ class Tracker:
 
     def current_pose(self):
         return np.asarray(self.last_Tcw)
+
+    def reset(self):
+        """Clear map + state (reference Tracking::Reset, triggered by
+        System::Reset or by early tracking failure after mono init)."""
+        self.state = TrackingState.NOT_INITIALIZED
+        self.map = make_empty_map(self.cap)
+        self.init_frame = None
+        self.last_frame = None
+        self.last_feat_pt = None
+        self.cur_feat_pt = None
+        self.n_tracked = 0
+        self.last_Tcw = np.eye(4)
+        self._prev_Tcw = np.eye(4)
+        self.velocity = None
+        self.ref_kf = 0
+        self.ref_kf_tracked = 0
+        self.frames_since_kf = 0
+        self.trajectory = []
+        self.rel_trajectory = []
+        self.stats = {"n_kf": 0, "reloc": 0, "lost_frames": 0, "loops": 0}
+        if self.loop_closer is not None:
+            voc = self.loop_closer.voc
+            fix_scale = self.loop_closer.fix_scale
+            gap = self.loop_closer.min_kf_gap
+            self.enable_place_recognition(voc, fix_scale, gap)
+
+    def export_trajectory(self) -> list:
+        """[(timestamp, Tcw)] recomputed against the current (optimized)
+        keyframe poses — frames tracked before a loop closure come out
+        loop-corrected (reference System::SaveTrajectoryTUM semantics)."""
+        kf_Tcw = np.asarray(self.map.kf_Tcw)
+        out = []
+        for ts, ref, T_cr in self.rel_trajectory:
+            out.append((ts, T_cr @ kf_Tcw[ref]))
+        return out
+
+    def export_keyframe_trajectory(self) -> list:
+        """[(timestamp, Tcw)] of live keyframes, ordered by frame id
+        (reference System::SaveKeyFrameTrajectoryTUM)."""
+        m = self.map
+        valid = np.nonzero(np.asarray(m.kf_valid))[0]
+        fids = np.asarray(m.kf_frame_id)[valid]
+        order = valid[np.argsort(fids)]
+        ts = np.asarray(m.kf_timestamp)
+        Tcw = np.asarray(m.kf_Tcw)
+        return [(float(ts[k]), Tcw[k]) for k in order]
 
     # ------------------------------------------------------------------
     # Initialization
@@ -268,6 +332,9 @@ class Tracker:
         self.last_Tcw = np.asarray(Tcw2)
         self._prev_Tcw = np.asarray(Tcw2)
         self.trajectory.append((float(frame.timestamp), np.asarray(Tcw2)))
+        self.rel_trajectory.append(
+            (float(frame.timestamp), int(self.ref_kf), np.eye(4))
+        )
         return True
 
     def _create_initial_map(self, frame2, m12, good, pts, Tcw2):
@@ -356,6 +423,9 @@ class Tracker:
         self._prev_Tcw = np.eye(4)
         self.velocity = None
         self.trajectory.append((float(frame.timestamp), np.eye(4)))
+        self.rel_trajectory.append(
+            (float(frame.timestamp), int(self.ref_kf), np.eye(4))
+        )
         return True
 
     # ------------------------------------------------------------------

@@ -21,6 +21,7 @@ from __future__ import annotations
 import functools
 
 import jax
+from orb_slam2_test_tpu.utils.precision import f32_matmuls
 import jax.numpy as jnp
 
 from orb_slam2_test_tpu.ops.brief import extract_patches, PATCH
@@ -75,6 +76,7 @@ def _sad_refine(
     return delta, best_sad
 
 
+@f32_matmuls
 @functools.partial(
     jax.jit,
     static_argnames=("bf", "n_features", "n_levels", "scale_factor", "min_z"),

@@ -31,6 +31,7 @@ import functools
 
 import numpy as np
 import jax
+from orb_slam2_test_tpu.utils.precision import f32_matmuls
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -254,6 +255,7 @@ def dist_bundle_adjust(
     # device_put with the right shardings so shard_map gets blocked inputs
     cost0 = jnp.asarray(jnp.inf)
 
+    @f32_matmuls
     @functools.partial(jax.jit)
     def run(prob):
         return fn(

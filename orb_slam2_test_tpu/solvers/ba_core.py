@@ -37,6 +37,7 @@ import functools
 from typing import NamedTuple
 
 import jax
+from orb_slam2_test_tpu.utils.precision import f32_matmuls
 import jax.numpy as jnp
 
 from orb_slam2_test_tpu.geometry.camera import PinholeCamera
@@ -311,6 +312,7 @@ def _apply_update(prob: BAProblem, dxc, dxp) -> BAProblem:
     return prob._replace(cam_Tcw=new_Tcw, pt_xyz=new_xyz)
 
 
+@f32_matmuls
 @functools.partial(
     jax.jit, static_argnames=("iters1", "iters2", "solver", "cg_iters")
 )

@@ -19,6 +19,7 @@ import functools
 from typing import NamedTuple
 
 import jax
+from orb_slam2_test_tpu.utils.precision import f32_matmuls
 import jax.numpy as jnp
 
 from orb_slam2_test_tpu.geometry.camera import PinholeCamera
@@ -324,6 +325,7 @@ def _check_rt(
     return n_good, parallax_deg, pts, good
 
 
+@f32_matmuls
 @functools.partial(
     jax.jit, static_argnames=("n_iters", "min_triangulated")
 )

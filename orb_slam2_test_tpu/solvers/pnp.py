@@ -17,6 +17,7 @@ import functools
 from typing import NamedTuple
 
 import jax
+from orb_slam2_test_tpu.utils.precision import f32_matmuls
 import jax.numpy as jnp
 
 from orb_slam2_test_tpu.geometry.camera import PinholeCamera
@@ -62,6 +63,7 @@ def _extract_rt(P: jax.Array) -> tuple[jax.Array, jax.Array]:
     return R, t
 
 
+@f32_matmuls
 @functools.partial(jax.jit, static_argnames=("cam", "n_iters"))
 def pnp_ransac(
     cam: PinholeCamera,

@@ -18,6 +18,7 @@ from __future__ import annotations
 import functools
 
 import jax
+from orb_slam2_test_tpu.utils.precision import f32_matmuls
 import jax.numpy as jnp
 
 from orb_slam2_test_tpu.geometry.sim3 import (
@@ -27,6 +28,7 @@ from orb_slam2_test_tpu.geometry.sim3 import (
 )
 
 
+@f32_matmuls
 @functools.partial(jax.jit, static_argnames=("iters", "fix_scale"))
 def optimize_essential_graph(
     Scw: jax.Array,  # [K, 4, 4] sim3 world->camera per keyframe

@@ -18,6 +18,7 @@ import functools
 from typing import NamedTuple
 
 import jax
+from orb_slam2_test_tpu.utils.precision import f32_matmuls
 import jax.numpy as jnp
 
 from orb_slam2_test_tpu.geometry.camera import PinholeCamera
@@ -39,6 +40,7 @@ class PoseOptResult(NamedTuple):
     chi2: jax.Array  # [O] final per-observation chi2
 
 
+@f32_matmuls
 @functools.partial(jax.jit, static_argnames=("rounds", "iters_per_round"))
 def pose_optimization(
     cam: PinholeCamera,

@@ -16,6 +16,7 @@ import functools
 from typing import NamedTuple
 
 import jax
+from orb_slam2_test_tpu.utils.precision import f32_matmuls
 import jax.numpy as jnp
 
 from orb_slam2_test_tpu.geometry.camera import PinholeCamera
@@ -57,6 +58,7 @@ def _horn_batch(
     return s, R, t
 
 
+@f32_matmuls
 @functools.partial(jax.jit, static_argnames=("cam", "n_iters", "fix_scale"))
 def sim3_ransac(
     cam: PinholeCamera,
@@ -113,6 +115,7 @@ def sim3_ransac(
     )
 
 
+@f32_matmuls
 @functools.partial(jax.jit, static_argnames=("cam", "iters", "fix_scale"))
 def optimize_sim3(
     cam: PinholeCamera,
