@@ -21,14 +21,21 @@ from orb_slam2_test_tpu.geometry.triangulation import (
     triangulate_dlt,
     triangulation_checks,
 )
-from orb_slam2_test_tpu.engine.matchers import search_for_triangulation
+from orb_slam2_test_tpu.engine.frame import FrameData
+from orb_slam2_test_tpu.engine.matchers import (
+    search_by_projection,
+    search_for_triangulation,
+)
+from orb_slam2_test_tpu.ops.matching import TH_LOW
 from orb_slam2_test_tpu.slam_map.mapstate import (
     MapCapacity,
     MapState,
     add_points,
+    erase_keyframe,
 )
 from orb_slam2_test_tpu.slam_map.covisibility import (
     best_covisible,
+    covisibility_weights,
     observation_counts,
 )
 from orb_slam2_test_tpu.solvers.ba_core import BAProblem, bundle_adjust
@@ -270,6 +277,171 @@ def run_local_ba(
         rows, mode="drop"
     )
     return m._replace(kf_Tcw=new_Tcw, pt_xyz=new_xyz, kf_pt_idx=new_pt_idx)
+
+
+def _kf_view(m: MapState, kf: jax.Array) -> FrameData:
+    """A keyframe's features viewed as a FrameData (traced-index safe)."""
+    return FrameData(
+        uv=m.kf_uv[kf], uv_raw=m.kf_uv[kf], level=m.kf_level[kf],
+        angle=m.kf_angle[kf], desc=m.kf_desc[kf], valid=m.kf_kp_valid[kf],
+        ur=m.kf_ur[kf], depth=m.kf_depth[kf], timestamp=m.kf_timestamp[kf],
+    )
+
+
+@f32_matmuls
+@functools.partial(jax.jit, static_argnames=("cam",))
+def fuse_with_neighbor(
+    m: MapState,
+    cam: PinholeCamera,
+    kf_a: jax.Array,
+    kf_b: jax.Array,
+) -> tuple[MapState, jax.Array]:
+    """Project keyframe B's map points into keyframe A and merge
+    duplicate landmarks (LocalMapping::SearchInNeighbors one direction:
+    ORBmatcher::Fuse radius 3 + MapPoint::Replace — the point with more
+    observations survives; all feature links to the loser are rewritten
+    to the winner map-wide). Returns (map, n_fused_or_adopted)."""
+    P = m.pt_valid.shape[0]
+    b_ok = kf_b >= 0
+    kf_b_safe = jnp.clip(kf_b, 0)
+
+    row_b = m.kf_pt_idx[kf_b_safe]
+    pts_b = jnp.zeros((P,), bool).at[
+        jnp.where(row_b >= 0, row_b, P)
+    ].set(True, mode="drop") & m.pt_valid
+
+    frame_a = _kf_view(m, kf_a)
+    # reference Fuse: radius 3 (octave-scaled), strict TH_LOW descriptor
+    # gate — a loose gate here merges distinct landmarks and corrupts
+    # the map globally (Replace rewrites every link)
+    pm = search_by_projection(
+        cam, m.kf_Tcw[kf_a],
+        m.pt_xyz, m.pt_desc, pts_b,
+        m.pt_normal, m.pt_min_dist, m.pt_max_dist,
+        jnp.arange(P, dtype=jnp.int32), frame_a,
+        radius=3.0, max_hamming=TH_LOW, check_view_cos=True,
+    )
+    q = pm.feat_pt  # [N] matched point id or -1
+    row_a = m.kf_pt_idx[kf_a]
+
+    adopt = (q >= 0) & (row_a < 0) & m.kf_kp_valid[kf_a]
+    conflict = (q >= 0) & (row_a >= 0) & (row_a != q)
+
+    obs = observation_counts(m)
+    qs, rs = jnp.clip(q, 0), jnp.clip(row_a, 0)
+    q_wins = obs[qs] >= obs[rs]
+    winner = jnp.where(q_wins, qs, rs)
+    loser = jnp.where(q_wins, rs, qs)
+
+    # map-wide replace: links to the loser follow to the winner
+    rep = jnp.arange(P, dtype=jnp.int32).at[
+        jnp.where(conflict, loser, P)
+    ].set(winner, mode="drop")
+    linked = m.kf_pt_idx >= 0
+    new_idx = jnp.where(linked, rep[jnp.clip(m.kf_pt_idx, 0)], m.kf_pt_idx)
+    # adopt fresh links on A
+    new_row_a = jnp.where(adopt, q, new_idx[kf_a])
+    new_idx = new_idx.at[kf_a].set(new_row_a)
+
+    # invalidate losers; drop any link that now points at a dead point
+    # (a winner may itself lose a different conflict in this pass)
+    lose_mask = jnp.zeros((P,), bool).at[
+        jnp.where(conflict, loser, P)
+    ].set(True, mode="drop")
+    pt_valid = m.pt_valid & ~lose_mask
+    dangling = jnp.where(new_idx >= 0, ~pt_valid[jnp.clip(new_idx, 0)], False)
+    new_idx = jnp.where(dangling, -1, new_idx)
+
+    n_erased = jnp.sum(lose_mask & m.pt_valid).astype(jnp.int32)
+    m2 = m._replace(
+        kf_pt_idx=new_idx,
+        pt_valid=pt_valid,
+        n_pt=m.n_pt - n_erased,
+    )
+    m_out = jax.tree.map(lambda a, b: jnp.where(b_ok, a, b), m2, m)
+    n = jnp.where(b_ok, jnp.sum(adopt) + jnp.sum(conflict), 0)
+    return m_out, n
+
+
+@f32_matmuls
+@functools.partial(jax.jit, static_argnames=("n_levels",))
+def cull_keyframes(
+    m: MapState,
+    kf_id: jax.Array,
+    n_levels: int = 8,
+    redundancy: float = 0.9,
+) -> tuple[MapState, jax.Array]:
+    """Erase at most ONE redundant covisible keyframe of `kf_id`
+    (LocalMapping::KeyFrameCulling): a keyframe is redundant when >90%
+    of its tracked points are observed by >=3 OTHER keyframes at the
+    same or finer pyramid scale (level <= l+1). One per call mirrors
+    the reference's sequential loop and avoids erasing two keyframes
+    that were each other's only redundancy.
+
+    Returns (map, culled_kf_id or -1)."""
+    K, N = m.kf_pt_idx.shape
+    P = m.pt_valid.shape[0]
+    linked = (m.kf_pt_idx >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    pt = jnp.clip(m.kf_pt_idx, 0)
+    lvl = jnp.clip(m.kf_level, 0, n_levels - 1)
+
+    # per-(point, level) observation counts, then prefix over levels
+    flat_pt = jnp.where(linked, pt, P).reshape(-1)
+    flat_lv = lvl.reshape(-1)
+    cnt = jnp.zeros((P + 1, n_levels), jnp.int32).at[flat_pt, flat_lv].add(
+        1, mode="drop"
+    )
+    cum = jnp.cumsum(cnt, axis=1)  # [P+1, L] obs at level <= l
+    gate = jnp.minimum(lvl + 1, n_levels - 1)
+    n_same_or_finer = cum[pt, gate]  # includes this observation
+    redundant_obs = linked & ((n_same_or_finer - 1) >= 3)
+
+    n_tracked = jnp.sum(linked, axis=1)
+    n_red = jnp.sum(redundant_obs, axis=1)
+    kf_redundant = (
+        (n_red.astype(jnp.float32) > redundancy * n_tracked.astype(jnp.float32))
+        & (n_tracked > 0)
+    )
+
+    # candidates: covisible keyframes of kf_id (weight >= 15), never the
+    # origin keyframe 0 and never kf_id itself
+    w = covisibility_weights(m, kf_id[None])[0]  # [K]
+    cand = (
+        kf_redundant
+        & (w >= 15)
+        & m.kf_valid
+        & (jnp.arange(K) != kf_id)
+        & (jnp.arange(K) != 0)
+    )
+    # pick the most-redundant candidate
+    score = jnp.where(cand, n_red.astype(jnp.float32)
+                      / jnp.maximum(n_tracked.astype(jnp.float32), 1.0), -1.0)
+    victim = jnp.argmax(score)
+    any_cand = jnp.any(cand)
+
+    m_culled = erase_keyframe(m, victim)
+    # re-home points whose reference keyframe was culled to their first
+    # surviving observer (keeps loop-correction ref chains valid)
+    linked2 = (m_culled.kf_pt_idx >= 0) & m_culled.kf_kp_valid
+    flat2 = jnp.where(linked2, jnp.clip(m_culled.kf_pt_idx, 0), P).reshape(-1)
+    kf_of = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[:, None], (K, N)
+    ).reshape(-1)
+    first_obs = jnp.full((P + 1,), K, jnp.int32).at[flat2].min(
+        kf_of, mode="drop"
+    )
+    orphan = (m_culled.pt_ref_kf == victim) & m_culled.pt_valid
+    new_ref = jnp.where(
+        orphan,
+        jnp.where(first_obs[:P] < K, first_obs[:P], -1),
+        m_culled.pt_ref_kf,
+    )
+    m_culled = m_culled._replace(pt_ref_kf=new_ref)
+
+    m_out = jax.tree.map(
+        lambda a, b: jnp.where(any_cand, a, b), m_culled, m
+    )
+    return m_out, jnp.where(any_cand, victim, -1)
 
 
 @f32_matmuls

@@ -36,7 +36,9 @@ from orb_slam2_test_tpu.engine.matchers import (
 )
 from orb_slam2_test_tpu.engine.local_mapping import (
     LocalBACaps,
+    cull_keyframes,
     cull_points,
+    fuse_with_neighbor,
     run_local_ba,
     triangulate_with_neighbor,
 )
@@ -75,6 +77,8 @@ class TrackerConfig:
     min_depth_init_points: int = 500  # reference StereoInitialization
     max_frames_between_kf: int = 30
     kf_ref_ratio: float = 0.9  # reference thRefRatio for mono
+    enable_fuse: bool = True  # SearchInNeighbors duplicate fusion
+    enable_kf_culling: bool = True  # KeyFrameCulling
     seed: int = 0
 
     @property
@@ -616,8 +620,26 @@ class Tracker:
                 m, self.cam, kf_i, jnp.asarray(int(nbr)), self.cap
             )
 
+        # fuse duplicate landmarks with covisible neighbors, both
+        # directions (LocalMapping::SearchInNeighbors)
+        if self.cfg.enable_fuse:
+            for nbr in ids_np:
+                if nbr < 0:
+                    break
+                nbr_j = jnp.asarray(int(nbr))
+                m, _ = fuse_with_neighbor(m, self.cam, kf_i, nbr_j)
+                m, _ = fuse_with_neighbor(m, self.cam, nbr_j, kf_i)
+
         m = cull_points(m, kf_i)
         m = run_local_ba(m, self.cam, kf_i, self.cap, self.cfg.ba_caps)
+        if self.cfg.enable_kf_culling:
+            m, culled = cull_keyframes(m, kf_i, n_levels=self.cfg.n_levels)
+            culled = int(culled)
+            if culled >= 0:
+                if self.ref_kf == culled:
+                    self.ref_kf = int(kf)
+                if self.loop_closer is not None:
+                    self.loop_closer.db.erase(culled)
         if self.loop_closer is not None:
             m, closed = self.loop_closer.on_new_keyframe(m, int(kf))
             if closed:
