@@ -51,13 +51,20 @@ def main():
         return c, T
 
     Tcw0 = rest[-1]
+    # distinct images per call — the device runtime memoizes repeated
+    # identical dispatches, which would inflate the number
+    rng = np.random.default_rng(7)
+    imgs = [
+        img0 + jnp.asarray(rng.uniform(0, 1, img0.shape), jnp.float32)
+        for _ in range(ITERS)
+    ]
     for _ in range(WARMUP):
-        out = run_chain(img0, Tcw0)
+        out = run_chain(imgs[0], Tcw0)
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = run_chain(img0, Tcw0)
+    for i in range(ITERS):
+        out = run_chain(imgs[i], Tcw0)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 

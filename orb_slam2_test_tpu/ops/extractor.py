@@ -26,17 +26,16 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from orb_slam2_test_tpu.ops.pyramid import build_pyramid, gaussian_blur
+from orb_slam2_test_tpu.ops.pyramid import build_pyramid
 from orb_slam2_test_tpu.ops.fast import (
     fast_response,
     nms_3x3,
     border_mask,
 )
-from orb_slam2_test_tpu.ops.brief import (
-    compute_descriptors,
-    extract_patches,
-    patch_orientations,
-    EDGE_MARGIN,
+from orb_slam2_test_tpu.ops.brief import EDGE_MARGIN
+from orb_slam2_test_tpu.ops.patches import (
+    extract_raw_patches,
+    orb_from_patches,
 )
 
 HIGH_TH_BONUS = 1.0e5  # ranking bonus for corners passing iniThFAST
@@ -153,12 +152,12 @@ def extract_orb(
 
         xy, resp, valid = _select_level_keypoints(eff, n_l)
 
-        # orientation from raw-image patch moments (IC_Angle via matmul)
-        raw_patches = extract_patches(level_img, xy)
-        angle = patch_orientations(raw_patches)
-
-        blurred = gaussian_blur(level_img)
-        desc = compute_descriptors(blurred, xy, angle)
+        # fused per-keypoint pipeline: Pallas patch gather + matmul
+        # IC_Angle moments + patch-space blur + all-bin BRIEF taps
+        # (ops/patches.py; replaces whole-image GaussianBlur + per-bin
+        # gathers — see that module for the equivalence argument)
+        raw = extract_raw_patches(level_img, xy)
+        angle, desc = orb_from_patches(raw)
 
         scale = scale_factor**l
         out_uv.append(xy * scale)

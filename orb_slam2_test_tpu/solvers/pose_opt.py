@@ -40,9 +40,45 @@ class PoseOptResult(NamedTuple):
     chi2: jax.Array  # [O] final per-observation chi2
 
 
+def pose_optimization(
+    cam: PinholeCamera,
+    Tcw0: jax.Array,
+    X: jax.Array,
+    obs: jax.Array,
+    inv_sigma2: jax.Array,
+    valid: jax.Array,
+    rounds: int = 4,
+    iters_per_round: int = 10,
+    damping: float = 1e-3,
+) -> "PoseOptResult":
+    """Motion-only BA. On TPU backends, dispatches to the fused Pallas
+    kernel (solvers/pose_opt_pallas.py: the full 4x10 LM schedule in one
+    kernel, ~4x faster than the XLA op-by-op path it matches to ~1e-7)."""
+    if jax.default_backend() == "tpu":
+        from orb_slam2_test_tpu.solvers.pose_opt_pallas import (
+            pose_optimization_tpu,
+        )
+
+        Tcw, inliers, chi2 = pose_optimization_tpu(
+            cam, Tcw0, X, obs, inv_sigma2, valid,
+            rounds=rounds, iters_per_round=iters_per_round, damping=damping,
+        )
+        inliers = inliers & valid
+        return PoseOptResult(
+            Tcw=Tcw,
+            inliers=inliers,
+            n_inliers=jnp.sum(inliers.astype(jnp.int32)),
+            chi2=chi2,
+        )
+    return _pose_optimization_xla(
+        cam, Tcw0, X, obs, inv_sigma2, valid,
+        rounds=rounds, iters_per_round=iters_per_round, damping=damping,
+    )
+
+
 @f32_matmuls
 @functools.partial(jax.jit, static_argnames=("rounds", "iters_per_round"))
-def pose_optimization(
+def _pose_optimization_xla(
     cam: PinholeCamera,
     Tcw0: jax.Array,  # [4, 4] initial pose
     X: jax.Array,  # [O, 3] world points

@@ -62,6 +62,11 @@ class System:
         the reference without a vocabulary would)."""
         if sensor not in _SENSORS:
             raise ValueError(f"sensor must be one of {_SENSORS}")
+        from orb_slam2_test_tpu.utils.cache import (
+            enable_persistent_compilation_cache,
+        )
+
+        enable_persistent_compilation_cache()
         self.sensor = sensor
         self.settings = (
             load_settings(settings) if isinstance(settings, str) else settings
