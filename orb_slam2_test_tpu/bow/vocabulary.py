@@ -253,7 +253,50 @@ def save_text_vocabulary(voc: Vocabulary, path: str) -> None:
 
 def load_text_vocabulary(path: str) -> Vocabulary:
     """Parse the DBoW2 text vocabulary format
-    (ORBVocabulary::loadFromTextFile equivalent)."""
+    (ORBVocabulary::loadFromTextFile equivalent).
+
+    Uses the native C++ parser (native/src/vocab_loader.cc) when the
+    toolchain is available — the reference's ORBvoc.txt is ~1.1M lines
+    / 145 MB and is its slowest init step; the mmap parser does it in
+    ~1 s vs minutes for the line-by-line Python fallback below."""
+    from orb_slam2_test_tpu.utils.native import parse_vocab_text
+
+    parsed = parse_vocab_text(path)
+    if parsed is not None:
+        k, depth, byts, parent, is_leaf, weight = parsed
+        n = len(parent)
+        # file bytes ARE the packed layout: little-endian bits within
+        # byte, little-endian bytes within uint32 (== _pack(_unpack))
+        node_desc = np.ascontiguousarray(byts).view(np.uint32)
+
+        # children[p, slot] in file order (stable sort preserves it)
+        children = np.full((n, k), -1, np.int32)
+        nid = np.arange(1, n, dtype=np.int32)
+        p = parent[1:]
+        order = np.argsort(p, kind="stable")
+        sp, sn = p[order], nid[order]
+        group_start = np.searchsorted(sp, sp, side="left")
+        slot = np.arange(len(sp)) - group_start
+        keep = slot < k
+        children[sp[keep], slot[keep]] = sn[keep]
+
+        leaf_word = np.full(n, -1, np.int32)
+        leaves = np.nonzero(is_leaf)[0]
+        leaf_word[leaves] = np.arange(len(leaves), dtype=np.int32)
+        return Vocabulary(
+            node_desc=node_desc,
+            node_children=children,
+            node_is_leaf=is_leaf,
+            leaf_word=leaf_word,
+            word_weight=weight[leaves].astype(np.float32),
+            k=k,
+            depth=depth,
+        )
+    return _load_text_vocabulary_py(path)
+
+
+def _load_text_vocabulary_py(path: str) -> Vocabulary:
+    """Pure-Python fallback parser."""
     with open(path) as f:
         header = f.readline().split()
         k, depth = int(header[0]), int(header[1])
