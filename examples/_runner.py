@@ -39,19 +39,37 @@ def common_parser(description: str) -> argparse.ArgumentParser:
     )
     p.add_argument("--kitti-traj", action="store_true",
                    help="save trajectory in KITTI format")
+    p.add_argument("--profile", action="store_true",
+                   help="per-stage wall-clock breakdown at exit")
+    p.add_argument("--device-trace", default=None, metavar="DIR",
+                   help="capture an XLA device trace of frames 20-40 "
+                        "into DIR (TensorBoard/Perfetto)")
     return p
 
 
 def run(system: System, seq: Sequence, args) -> int:
+    from orb_slam2_test_tpu.utils.profiling import profiler, device_trace
+
     n = len(seq) if args.max_frames is None else min(len(seq), args.max_frames)
     if args.load_checkpoint:
         system.load_checkpoint(args.load_checkpoint)
     if args.localization_only:
         system.activate_localization_mode()
+    if getattr(args, "profile", False):
+        profiler.enable()
+    trace_ctx = None
 
     print(f"Processing {n} frames ({seq.kind}) ...")
     t_start = time.time()
     for i, it in enumerate(seq.items[:n]):
+        if getattr(args, "device_trace", None):
+            # trace a steady-state window, past the compile-heavy start
+            if i == min(20, n // 2):
+                trace_ctx = device_trace(args.device_trace)
+                trace_ctx.__enter__()
+            elif i == min(40, n - 1) and trace_ctx is not None:
+                trace_ctx.__exit__(None, None, None)
+                trace_ctx = None
         data = seq.load(it)
         if seq.kind == "mono":
             system.track_monocular(data[1], data[0])
@@ -67,7 +85,12 @@ def run(system: System, seq: Sequence, args) -> int:
                 f"  median={st['median_s'] * 1e3:.1f} ms"
             )
     wall = time.time() - t_start
+    if trace_ctx is not None:
+        trace_ctx.__exit__(None, None, None)
     system.shutdown()
+    if getattr(args, "profile", False):
+        print("-" * 60)
+        print(profiler.format_report())
 
     st = system.timing_stats()
     print("-" * 60)

@@ -52,6 +52,7 @@ from orb_slam2_test_tpu.slam_map.mapstate import (
 from orb_slam2_test_tpu.slam_map.covisibility import best_covisible
 from orb_slam2_test_tpu.solvers.initializer import initialize_mono
 from orb_slam2_test_tpu.solvers.pose_opt import pose_optimization
+from orb_slam2_test_tpu.utils.profiling import profiler
 
 
 @dataclasses.dataclass(frozen=True)
@@ -156,41 +157,44 @@ class Tracker:
     # ------------------------------------------------------------------
     def process_image_mono(self, img, timestamp: float):
         """Main entry — System::TrackMonocular -> GrabImageMonocular."""
-        frame = build_frame_mono(
-            jnp.asarray(img, jnp.float32),
-            timestamp,
-            self.cam,
-            n_features=self.cfg.n_features,
-            n_levels=self.cfg.n_levels,
-            scale_factor=self.cfg.scale_factor,
-        )
+        with profiler.span("frame_build"):
+            frame = build_frame_mono(
+                jnp.asarray(img, jnp.float32),
+                timestamp,
+                self.cam,
+                n_features=self.cfg.n_features,
+                n_levels=self.cfg.n_levels,
+                scale_factor=self.cfg.scale_factor,
+            )
         return self._track(frame)
 
     def process_image_stereo(self, img_left, img_right, timestamp: float):
         """System::TrackStereo -> GrabImageStereo."""
         from orb_slam2_test_tpu.engine.frame import build_frame_stereo
 
-        frame = build_frame_stereo(
-            jnp.asarray(img_left, jnp.float32),
-            jnp.asarray(img_right, jnp.float32),
-            timestamp,
-            self.cam,
-            n_features=self.cfg.n_features,
-            n_levels=self.cfg.n_levels,
-            scale_factor=self.cfg.scale_factor,
-        )
+        with profiler.span("frame_build"):
+            frame = build_frame_stereo(
+                jnp.asarray(img_left, jnp.float32),
+                jnp.asarray(img_right, jnp.float32),
+                timestamp,
+                self.cam,
+                n_features=self.cfg.n_features,
+                n_levels=self.cfg.n_levels,
+                scale_factor=self.cfg.scale_factor,
+            )
         return self._track(frame, use_depth=True)
 
     def process_image_rgbd(self, img, depth, timestamp: float):
-        frame = build_frame_rgbd(
-            jnp.asarray(img, jnp.float32),
-            jnp.asarray(depth, jnp.float32),
-            timestamp,
-            self.cam,
-            n_features=self.cfg.n_features,
-            n_levels=self.cfg.n_levels,
-            scale_factor=self.cfg.scale_factor,
-        )
+        with profiler.span("frame_build"):
+            frame = build_frame_rgbd(
+                jnp.asarray(img, jnp.float32),
+                jnp.asarray(depth, jnp.float32),
+                timestamp,
+                self.cam,
+                n_features=self.cfg.n_features,
+                n_levels=self.cfg.n_levels,
+                scale_factor=self.cfg.scale_factor,
+            )
         return self._track(frame, use_depth=True)
 
     # ------------------------------------------------------------------
@@ -207,20 +211,25 @@ class Tracker:
             return self.current_pose()
 
         if self.state == TrackingState.LOST:
-            ok = self._relocalize(frame)
+            with profiler.span("relocalization"):
+                ok = self._relocalize(frame)
         else:
-            ok = self._track_motion_model(frame)
+            with profiler.span("track_motion_model"):
+                ok = self._track_motion_model(frame)
             if not ok:
-                ok = self._track_reference_kf(frame)
+                with profiler.span("track_reference_kf"):
+                    ok = self._track_reference_kf(frame)
         if ok:
-            ok = self._track_local_map(frame)
+            with profiler.span("track_local_map"):
+                ok = self._track_local_map(frame)
         if ok:
             self.state = TrackingState.OK
             self.velocity = self.last_Tcw @ np.asarray(
                 se3_inverse(jnp.asarray(self._prev_Tcw))
             )
             if not self.localization_only:
-                self._maybe_insert_keyframe(frame, use_depth)
+                with profiler.span("keyframe_insert"):
+                    self._maybe_insert_keyframe(frame, use_depth)
             self.last_feat_pt = self.cur_feat_pt
             self.trajectory.append(
                 (float(frame.timestamp), np.asarray(self.last_Tcw))
