@@ -34,7 +34,10 @@ from orb_slam2_test_tpu.geometry.sim3 import (
     sim3_from_se3,
     sim3_inverse,
 )
-from orb_slam2_test_tpu.slam_map.covisibility import covisibility_weights
+from orb_slam2_test_tpu.slam_map.covisibility import (
+    add_loop_edge,
+    covisibility_weights,
+)
 from orb_slam2_test_tpu.slam_map.keyframe_db import KeyFrameDatabase
 from orb_slam2_test_tpu.slam_map.mapstate import MapState
 from orb_slam2_test_tpu.solvers.ba_core import BAProblem, bundle_adjust
@@ -292,14 +295,43 @@ class LoopCloser:
         def rel(i, j, S_all):
             return sim3_compose(S_all[j], sim3_inverse(S_all[i]))
 
-        # sequential chain (spanning-tree proxy: insertion order)
-        for a, b in zip(valid_ids[:-1], valid_ids[1:]):
-            edges_i.append(int(a))
-            edges_j.append(int(b))
+        # spanning-tree edges (reference: the essential graph's backbone
+        # is parent->child edges; KeyFrame::GetParent)
+        parent_np = np.asarray(m.kf_parent)
+        seen_pairs = set()
+        prev = -1
+        for b in valid_ids:
+            a = int(parent_np[b])
+            if a < 0 or not valid_np[a]:
+                # rootless node (e.g. map start or orphaned by culling):
+                # chain to the previous keyframe so the graph stays
+                # connected
+                a = prev
+            if a >= 0 and a != int(b):
+                key = (min(a, int(b)), max(a, int(b)))
+                if key not in seen_pairs:
+                    seen_pairs.add(key)
+                    edges_i.append(a)
+                    edges_j.append(int(b))
+            prev = int(b)
+        # previous loop-closure edges (KeyFrame::mspLoopEdges)
+        loop_np = np.asarray(m.kf_loop_edge)
+        for a in valid_ids:
+            b = int(loop_np[a])
+            if b >= 0 and valid_np[b]:
+                key = (min(int(a), b), max(int(a), b))
+                if key not in seen_pairs:
+                    seen_pairs.add(key)
+                    edges_i.append(int(a))
+                    edges_j.append(b)
         # strong covisibility edges
         Wfull = np.asarray(covisibility_weights(m))
         strong = np.argwhere(np.triu(Wfull, 1) >= COVIS_EDGE_MIN)
         for a, b in strong:
+            key = (min(int(a), int(b)), max(int(a), int(b)))
+            if key in seen_pairs:
+                continue
+            seen_pairs.add(key)
             edges_i.append(int(a))
             edges_j.append(int(b))
         n_pre = len(edges_i)
@@ -347,6 +379,12 @@ class LoopCloser:
                 jax.vmap(se3_from_sim3)(S_opt),
                 m.kf_Tcw,
             ),
+        )
+
+        # record the loop edge for future essential-graph optimizations
+        # (reference: mpCurrentKF->AddLoopEdge / mpMatchedKF->AddLoopEdge)
+        m = add_loop_edge(
+            m, jnp.asarray(kf_id, jnp.int32), jnp.asarray(cand, jnp.int32)
         )
 
         # ---- global BA (reference launches RunGlobalBundleAdjustment)

@@ -49,7 +49,7 @@ from orb_slam2_test_tpu.slam_map.mapstate import (
     add_points,
     make_empty_map,
 )
-from orb_slam2_test_tpu.slam_map.covisibility import best_covisible
+from orb_slam2_test_tpu.slam_map.covisibility import assign_parent, best_covisible
 from orb_slam2_test_tpu.solvers.initializer import initialize_mono
 from orb_slam2_test_tpu.solvers.pose_opt import pose_optimization
 from orb_slam2_test_tpu.utils.profiling import profiler
@@ -278,14 +278,38 @@ class Tracker:
             gap = self.loop_closer.min_kf_gap
             self.enable_place_recognition(voc, fix_scale, gap)
 
+    def _resolve_ref_pose(self, ref: int, kf_Tcw, kf_valid, kf_parent,
+                          kf_Tcp) -> np.ndarray:
+        """World->ref pose, climbing the spanning tree through culled
+        keyframes (reference SaveTrajectory*: `while(pKF->isBad())
+        { Trw = Trw * pKF->mTcp; pKF = pKF->GetParent(); }`)."""
+        T_acc = np.eye(4)
+        hops = 0
+        while ref >= 0 and not kf_valid[ref] and hops < kf_valid.shape[0]:
+            T_acc = T_acc @ kf_Tcp[ref]
+            ref = int(kf_parent[ref])
+            hops += 1
+        if ref < 0:
+            return T_acc  # fully orphaned chain: best-effort
+        return T_acc @ kf_Tcw[ref]
+
     def export_trajectory(self) -> list:
         """[(timestamp, Tcw)] recomputed against the current (optimized)
         keyframe poses — frames tracked before a loop closure come out
-        loop-corrected (reference System::SaveTrajectoryTUM semantics)."""
-        kf_Tcw = np.asarray(self.map.kf_Tcw)
+        loop-corrected, and frames whose reference keyframe was culled
+        climb the spanning tree to a live ancestor (reference
+        System::SaveTrajectoryTUM semantics)."""
+        m = self.map
+        kf_Tcw = np.asarray(m.kf_Tcw)
+        kf_valid = np.asarray(m.kf_valid)
+        kf_parent = np.asarray(m.kf_parent)
+        kf_Tcp = np.asarray(m.kf_Tcp)
         out = []
         for ts, ref, T_cr in self.rel_trajectory:
-            out.append((ts, T_cr @ kf_Tcw[ref]))
+            T_ref = self._resolve_ref_pose(
+                ref, kf_Tcw, kf_valid, kf_parent, kf_Tcp
+            )
+            out.append((ts, T_cr @ T_ref))
         return out
 
     def export_keyframe_trajectory(self) -> list:
@@ -386,6 +410,9 @@ class Tracker:
         tgt = jnp.where(created, j, N)
         row1 = m.kf_pt_idx[kf1].at[tgt].set(slots, mode="drop")
         m = m._replace(kf_pt_idx=m.kf_pt_idx.at[kf1].set(row1))
+
+        # spanning tree: the second keyframe hangs off the first
+        m = assign_parent(m, jnp.asarray(int(kf1)))
 
         # full BA on the 2-keyframe map (reference: GlobalBundleAdjustemnt
         # with 20 iterations right after init)
@@ -615,6 +642,9 @@ class Tracker:
             frame.desc, frame.valid, self.cur_feat_pt,
         )
         kf_i = jnp.asarray(int(kf))
+        # spanning tree: parent = most covisible at first connection
+        # (reference LocalMapping::ProcessNewKeyFrame -> UpdateConnections)
+        m = assign_parent(m, kf_i)
 
         if use_depth:
             m = self._add_depth_points(m, frame, kf_i)

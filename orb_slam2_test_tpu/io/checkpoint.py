@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from orb_slam2_test_tpu.slam_map.mapstate import MapCapacity, MapState
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2  # v2: spanning tree (kf_parent/kf_loop_edge/kf_Tcp)
 
 
 def save_map(path: str, m: MapState, cap: MapCapacity, meta: dict | None = None):

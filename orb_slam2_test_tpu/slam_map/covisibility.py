@@ -87,6 +87,34 @@ def best_covisible(
     return jnp.where(weights > 0, ids, -1), weights
 
 
+def assign_parent(m: MapState, kf_id: jax.Array) -> MapState:
+    """Set kf_id's spanning-tree parent to its most-covisible keyframe
+    (KeyFrame::UpdateConnections first-time branch: `mbFirstConnection`
+    -> parent = keyframe with the highest shared-point count). No-op if
+    a parent is already assigned or no other valid keyframe shares
+    points."""
+    w = covisibility_weights(m, kf_id[None])[0].astype(jnp.float32)  # [K]
+    K = m.kf_valid.shape[0]
+    eligible = m.kf_valid & (jnp.arange(K) != kf_id)
+    w = jnp.where(eligible, w, -1.0)
+    best = jnp.argmax(w)
+    assign = (m.kf_parent[kf_id] < 0) & (w[best] > 0)
+    new_parent = jnp.where(
+        assign, best.astype(jnp.int32), m.kf_parent[kf_id]
+    )
+    return m._replace(kf_parent=m.kf_parent.at[kf_id].set(new_parent))
+
+
+def add_loop_edge(m: MapState, kf_a: jax.Array, kf_b: jax.Array) -> MapState:
+    """Record a loop-closure edge between two keyframes
+    (KeyFrame::AddLoopEdge, both directions). Loop edges survive
+    keyframe culling checks in the reference; here culling never picks
+    loop keyframes because they stay strongly covisible post-fusion."""
+    return m._replace(
+        kf_loop_edge=m.kf_loop_edge.at[kf_a].set(kf_b).at[kf_b].set(kf_a)
+    )
+
+
 def local_keyframes(
     m: MapState, kf_id: jax.Array, k1: int, k2_per: int
 ) -> jax.Array:

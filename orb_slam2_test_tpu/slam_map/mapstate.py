@@ -69,6 +69,16 @@ class MapState(NamedTuple):
       kf_desc     [K, N, 8] 256-bit ORB descriptors packed in uint32
       kf_kp_valid [K, N]    feature slot in use (frames yield < N features)
       kf_pt_idx   [K, N]    map-point index observed by this feature (-1 none)
+      kf_parent   [K]       spanning-tree parent (-1 root/unset; reference
+                            KeyFrame::mpParent, assigned at the first
+                            UpdateConnections = most-covisible keyframe)
+      kf_loop_edge[K]       loop-closure edge partner (-1 none; reference
+                            KeyFrame::mspLoopEdges, array-ified to one
+                            edge per keyframe — loops are rare events)
+      kf_Tcp      [K, 4, 4] pose relative to parent, captured when the
+                            keyframe is erased (reference KeyFrame::mTcp
+                            set in SetBadFlag; SaveTrajectory* climbs
+                            the tree through bad keyframes with it)
 
     Point arrays (capacity P):
       pt_xyz      [P, 3]
@@ -99,6 +109,9 @@ class MapState(NamedTuple):
     kf_desc: jax.Array
     kf_kp_valid: jax.Array
     kf_pt_idx: jax.Array
+    kf_parent: jax.Array
+    kf_loop_edge: jax.Array
+    kf_Tcp: jax.Array
     pt_xyz: jax.Array
     pt_valid: jax.Array
     pt_desc: jax.Array
@@ -129,6 +142,9 @@ def make_empty_map(cap: MapCapacity) -> MapState:
         kf_desc=jnp.zeros((K, N, 8), dtype=jnp.uint32),
         kf_kp_valid=jnp.zeros((K, N), dtype=bool),
         kf_pt_idx=jnp.full((K, N), -1, dtype=i32),
+        kf_parent=jnp.full((K,), -1, dtype=i32),
+        kf_loop_edge=jnp.full((K,), -1, dtype=i32),
+        kf_Tcp=jnp.tile(jnp.eye(4, dtype=f32), (K, 1, 1)),
         pt_xyz=jnp.zeros((P, 3), dtype=f32),
         pt_valid=jnp.zeros((P,), dtype=bool),
         pt_desc=jnp.zeros((P, 8), dtype=jnp.uint32),
@@ -201,6 +217,10 @@ def add_keyframe(
         kf_desc=m.kf_desc.at[k].set(desc),
         kf_kp_valid=m.kf_kp_valid.at[k].set(kp_valid),
         kf_pt_idx=m.kf_pt_idx.at[k].set(pt_idx),
+        # fresh slot: no tree/loop links yet (slots can be recycled)
+        kf_parent=m.kf_parent.at[k].set(-1),
+        kf_loop_edge=m.kf_loop_edge.at[k].set(-1),
+        kf_Tcp=m.kf_Tcp.at[k].set(jnp.eye(4)),
         n_kf=m.n_kf + 1,
     )
     return m, k
@@ -266,13 +286,40 @@ def erase_points(m: MapState, pt_ids: jax.Array) -> MapState:
 
 
 def erase_keyframe(m: MapState, kf_id: jax.Array) -> MapState:
-    """Mark a keyframe bad and detach its observations
-    (KeyFrame::SetBadFlag minus spanning-tree repair, which lives in
-    covisibility/essential-graph logic)."""
+    """Mark a keyframe bad, detach its observations, and repair the
+    spanning tree (KeyFrame::SetBadFlag):
+
+    - children adopt the erased keyframe's parent (the reference
+      re-parents each child to its best covisible candidate — adopting
+      the grandparent keeps the tree connected with the same asymptotic
+      shape and no data-dependent loop);
+    - the victim KEEPS its parent pointer and records its pose relative
+      to the parent (mTcp), so trajectory export can climb through bad
+      keyframes to a live ancestor (System::SaveTrajectory*).
+    """
     N = m.kf_pt_idx.shape[1]
+    grandparent = m.kf_parent[kf_id]
+    # only LIVE children re-parent: an erased child's stored kf_Tcp is
+    # relative to this victim, so its chain must keep pointing here
+    children = (m.kf_parent == kf_id) & m.kf_valid
+    new_parent = jnp.where(children, grandparent, m.kf_parent)
+    new_parent = new_parent.at[kf_id].set(m.kf_parent[kf_id])
+    # sever any loop edge pointing at the victim
+    new_loop = jnp.where(m.kf_loop_edge == kf_id, -1, m.kf_loop_edge)
+    # relative pose to parent at erase time (identity for a root)
+    par = jnp.clip(grandparent, 0)
+    Tp = m.kf_Tcw[par]
+    Rp, tp = Tp[:3, :3], Tp[:3, 3]
+    Tp_inv = (
+        jnp.eye(4).at[:3, :3].set(Rp.T).at[:3, 3].set(-Rp.T @ tp)
+    )
+    Tcp = jnp.where(grandparent >= 0, m.kf_Tcw[kf_id] @ Tp_inv, jnp.eye(4))
     return m._replace(
         kf_valid=m.kf_valid.at[kf_id].set(False),
         kf_kp_valid=m.kf_kp_valid.at[kf_id].set(jnp.zeros((N,), dtype=bool)),
         kf_pt_idx=m.kf_pt_idx.at[kf_id].set(jnp.full((N,), -1, jnp.int32)),
+        kf_parent=new_parent,
+        kf_loop_edge=new_loop.at[kf_id].set(-1),
+        kf_Tcp=m.kf_Tcp.at[kf_id].set(Tcp),
         n_kf=m.n_kf - 1,
     )
