@@ -669,6 +669,22 @@ class Tracker:
                 m, _ = fuse_with_neighbor(m, self.cam, kf_i, nbr_j)
                 m, _ = fuse_with_neighbor(m, self.cam, nbr_j, kf_i)
 
+        # refresh landmark attributes touched by triangulation/fusion
+        # (MapPoint::ComputeDistinctiveDescriptors + UpdateNormalAndDepth,
+        # which the reference calls per new/fused point)
+        from orb_slam2_test_tpu.slam_map.maintenance import (
+            update_distinctive_descriptors,
+            update_normals_and_depth,
+        )
+
+        window = jnp.concatenate([kf_i[None], ids])
+        m = update_distinctive_descriptors(
+            m, window, window=self.cfg.n_triangulate_neighbors + 1
+        )
+        m = update_normals_and_depth(
+            m, scale_factor=self.cfg.scale_factor, n_levels=self.cfg.n_levels
+        )
+
         m = cull_points(m, kf_i)
         m = run_local_ba(m, self.cam, kf_i, self.cap, self.cfg.ba_caps)
         if self.cfg.enable_kf_culling:
