@@ -25,7 +25,11 @@ import jax.numpy as jnp
 
 from orb_slam2_test_tpu.bow.vocabulary import Vocabulary, transform
 from orb_slam2_test_tpu.engine.frame import FrameData
-from orb_slam2_test_tpu.engine.matchers import match_by_descriptor_to_map, search_by_projection
+from orb_slam2_test_tpu.engine.matchers import (
+    search_by_bow,
+    search_by_projection,
+    search_by_sim3,
+)
 from orb_slam2_test_tpu.geometry.se3 import se3_inverse
 from orb_slam2_test_tpu.geometry.sim3 import (
     se3_from_sim3,
@@ -49,6 +53,7 @@ MIN_KF_GAP = 10  # KFs since last loop before detecting again
 CONSISTENCY_TH = 3
 MIN_SIM3_MATCHES = 20
 MIN_SIM3_INLIERS = 20
+MIN_TOTAL_MATCHES = 40  # reference ComputeSim3 final acceptance gate
 COVIS_EDGE_MIN = 100  # strong-covisibility essential-graph edges
 EDGE_CAP = 4096
 
@@ -177,28 +182,40 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def _compute_and_correct(self, m: MapState, kf_id: int, cand: int):
-        # match current KF features against candidate KF's map points
+        # ---- SearchByBoW: current KF features vs candidate KF's map
+        # points, restricted to shared vocabulary nodes (reference
+        # ComputeSim3 first stage)
         frame = _kf_as_frame(m, kf_id)
         row_c = m.kf_pt_idx[cand]
-        has_c = row_c >= 0
-        pm = match_by_descriptor_to_map(
-            frame,
+        has_c = (row_c >= 0) & m.kf_kp_valid[cand]
+        _, nodes_cur = transform(
+            self.voc, m.kf_desc[kf_id], m.kf_kp_valid[kf_id]
+        )
+        _, nodes_c = transform(self.voc, m.kf_desc[cand], has_c)
+        pm = search_by_bow(
+            frame, nodes_cur,
             m.pt_desc[jnp.clip(row_c, 0)],
-            has_c & m.kf_kp_valid[cand],
+            has_c,
             jnp.where(has_c, row_c, -1),
+            nodes_c,
+            m.kf_angle[cand],
         )
         # pairs: current feature n has own point AND matched candidate point
         own = m.kf_pt_idx[kf_id]
-        pair_ok = (own >= 0) & (pm.feat_pt >= 0)
+        pair_pt = pm.feat_pt  # [N] candidate point id per current feature
+        pair_ok = (own >= 0) & (pair_pt >= 0)
         if int(jnp.sum(pair_ok)) < MIN_SIM3_MATCHES:
             return False, m
 
-        X1 = m.pt_xyz[jnp.clip(own, 0)]
-        X2 = m.pt_xyz[jnp.clip(pm.feat_pt, 0)]
         T1 = m.kf_Tcw[kf_id]
         T2 = m.kf_Tcw[cand]
-        pc1 = X1 @ T1[:3, :3].T + T1[:3, 3]
-        pc2 = X2 @ T2[:3, :3].T + T2[:3, 3]
+
+        def cam_pts(pt_ids, T):
+            X = m.pt_xyz[jnp.clip(pt_ids, 0)]
+            return X @ T[:3, :3].T + T[:3, 3]
+
+        pc1 = cam_pts(own, T1)
+        pc2 = cam_pts(pair_pt, T2)
 
         self.key, sub = jax.random.split(self.key)
         res = sim3_ransac(
@@ -207,11 +224,58 @@ class LoopCloser:
         )
         if not bool(res.success):
             return False, m
+
+        # ---- SearchBySim3: widen the match set by mutual projection
+        # through the RANSAC estimate (reference second stage)
+        frame_c = _kf_as_frame(m, cand)
+        cand_pc2 = cam_pts(row_c, T2)  # feature-aligned, N2 rows
+        m12, _ = search_by_sim3(
+            self.cam,
+            frame, pc1, own >= 0,
+            frame_c, cand_pc2, has_c,
+            res.S12,
+        )
+        widened_pt = jnp.where(m12 >= 0, row_c[jnp.clip(m12, 0)], -1)
+        pair_pt = jnp.where(pair_ok & res.inliers, pair_pt, widened_pt)
+        pair_ok2 = (own >= 0) & (pair_pt >= 0)
+
+        pc2 = cam_pts(pair_pt, T2)
         S12, inl, n = optimize_sim3(
-            self.cam, res.S12, pc1, pc2, pair_ok & res.inliers,
+            self.cam, res.S12, pc1, pc2, pair_ok2,
             fix_scale=self.fix_scale,
         )
         if int(n) < MIN_SIM3_INLIERS:
+            return False, m
+
+        # ---- final gate: project the loop neighborhood's map points
+        # into the current KF through the corrected pose and require
+        # enough total support (reference: SearchByProjection over
+        # mvpLoopMapPoints, accept when nTotalMatches >= 40)
+        S_cand_w = sim3_from_se3(T2)
+        Scw = sim3_compose(S12, S_cand_w)
+        Tcw_corr = se3_from_sim3(Scw)
+        covw_c = np.asarray(
+            covisibility_weights(m, jnp.asarray([cand]))[0]
+        )
+        loop_side = set(np.nonzero(covw_c >= 15)[0].tolist()) | {cand}
+        P = m.pt_valid.shape[0]
+        loop_pts_mask = np.zeros(P, bool)
+        kf_pt_np = np.asarray(m.kf_pt_idx)
+        for g in loop_side:
+            pts = kf_pt_np[g]
+            loop_pts_mask[pts[pts >= 0]] = True
+        loop_pts = jnp.asarray(loop_pts_mask) & m.pt_valid
+        pmw = search_by_projection(
+            self.cam, Tcw_corr,
+            m.pt_xyz, m.pt_desc, loop_pts,
+            m.pt_normal, m.pt_min_dist, m.pt_max_dist,
+            jnp.arange(P, dtype=jnp.int32),
+            frame, radius=10.0, check_view_cos=False,
+        )
+        total = jnp.sum(
+            ((pmw.feat_pt >= 0) | (inl & pair_ok2)).astype(jnp.int32)
+        )
+        if int(total) < MIN_TOTAL_MATCHES:
             return False, m
 
         m = self._correct_loop(m, kf_id, cand, S12)

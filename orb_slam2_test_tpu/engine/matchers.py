@@ -264,6 +264,135 @@ def search_for_triangulation(
 
 @f32_matmuls
 @functools.partial(jax.jit, static_argnames=())
+def search_by_bow(
+    frame: FrameData,
+    frame_nodes: jax.Array,  # [N] vocabulary node ids (-1 invalid)
+    pts_desc: jax.Array,  # [P, 8] candidate map-point descriptors
+    pts_valid: jax.Array,  # [P]
+    pt_ids: jax.Array,  # [P] global map ids
+    pts_nodes: jax.Array,  # [P] vocabulary node ids of the candidates
+    pts_angle: jax.Array,  # [P] keypoint angle in the source keyframe
+    max_hamming: int = TH_LOW,
+    ratio: float = 0.7,
+) -> ProjectionMatch:
+    """BoW-accelerated keyframe<->frame matching
+    (ORBmatcher::SearchByBoW, reference :~150): candidate pairs are
+    restricted to features that fall in the SAME vocabulary tree node at
+    the FeatureVector level. The reference walks the two FeatureVectors
+    in lockstep to prune comparisons for CPU speed; on the MXU the full
+    Hamming matrix is one matmul, so the node constraint is applied as a
+    mask — same accepted-match semantics (node equality + TH_LOW + ratio
+    0.7 + rotation histogram), different execution.
+    """
+    d = masked_hamming_matrix(pts_desc, frame.desc, pts_valid, frame.valid)
+    node_ok = (
+        (pts_nodes[:, None] == frame_nodes[None, :])
+        & (pts_nodes[:, None] >= 0)
+        & (frame_nodes[None, :] >= 0)
+    )
+    d = jnp.where(node_ok, d, 512)
+
+    best_idx, best, second = best_two(d)
+    ok = (best <= max_hamming) & (
+        best.astype(jnp.float32) < ratio * second.astype(jnp.float32)
+    )
+    pt_feat_raw = jnp.where(ok & pts_valid, best_idx, -1)
+    # rotation-consistency over point->feature matches (the reference
+    # histograms kp_ref.angle - kp_cur.angle)
+    pt_feat_raw = rotation_consistency(
+        pt_feat_raw, pts_angle, frame.angle
+    )
+    feat_pt, pt_feat = _resolve_conflicts(
+        jnp.where(pt_feat_raw >= 0, pt_feat_raw, -1),
+        best,
+        frame.uv.shape[0],
+        pt_ids,
+    )
+    return ProjectionMatch(
+        feat_pt=feat_pt,
+        pt_feat=pt_feat,
+        n_matches=jnp.sum((feat_pt >= 0).astype(jnp.int32)),
+    )
+
+
+@f32_matmuls
+@functools.partial(jax.jit, static_argnames=("cam",))
+def search_by_sim3(
+    cam: PinholeCamera,
+    f1: FrameData,
+    pc1: jax.Array,  # [N1, 3] camera-1-frame positions of f1's map points
+    has1: jax.Array,  # [N1] feature has a map point
+    f2: FrameData,
+    pc2: jax.Array,  # [N2, 3]
+    has2: jax.Array,
+    S12: jax.Array,  # [4, 4] sim3: pc1 ~ S12 * pc2
+    radius: float = 7.5,
+    max_hamming: int = TH_HIGH,
+) -> tuple[jax.Array, jax.Array]:
+    """Widen keyframe<->keyframe matches with a known relative Sim3
+    (ORBmatcher::SearchBySim3, reference :~960): project each side's
+    map points into the other image through S12/S21, match descriptors
+    inside a scale-dependent window, and keep mutually-agreeing pairs.
+
+    Returns (match12 [N1] -> feature index in f2 or -1, n_matches).
+    """
+    def proj(p3):
+        z = jnp.where(jnp.abs(p3[..., 2]) > 1e-6, p3[..., 2], 1e-6)
+        return jnp.stack(
+            [cam.fx * p3[..., 0] / z + cam.cx,
+             cam.fy * p3[..., 1] / z + cam.cy],
+            axis=-1,
+        ), p3[..., 2]
+
+    sR = S12[:3, :3]
+    t12 = S12[:3, 3]
+    s = jnp.maximum(jnp.linalg.norm(sR[:, 0]), 1e-12)
+    R = sR / s
+    # S21 = inverse sim3
+    sR21 = (1.0 / s) * R.T
+    t21 = -(R.T @ t12) / s
+
+    p2_in1, z1 = proj(pc2 @ sR.T + t12)  # [N2, 2]
+    p1_in2, z2 = proj(pc1 @ sR21.T + t21)  # [N1, 2]
+
+    r1 = radius * (1.2 ** f1.level.astype(jnp.float32))  # [N1]
+    r2 = radius * (1.2 ** f2.level.astype(jnp.float32))  # [N2]
+
+    d = masked_hamming_matrix(
+        f1.desc, f2.desc, has1 & f1.valid, has2 & f2.valid
+    )  # [N1, N2]
+
+    # direction A: point j of f2 lands near feature i of f1
+    duA = p2_in1[None, :, 0] - f1.uv[:, None, 0]
+    dvA = p2_in1[None, :, 1] - f1.uv[:, None, 1]
+    winA = (duA * duA + dvA * dvA) <= (r1[:, None] ** 2)
+    winA = winA & (z1[None, :] > 0)
+    dA = jnp.where(winA, d, 512)
+    m21 = jnp.argmin(dA, axis=0)  # [N2] best f1 feature per f2 point
+    okA = jnp.min(dA, axis=0) <= max_hamming
+
+    # direction B: point i of f1 lands near feature j of f2
+    duB = p1_in2[:, None, 0] - f2.uv[None, :, 0]
+    dvB = p1_in2[:, None, 1] - f2.uv[None, :, 1]
+    winB = (duB * duB + dvB * dvB) <= (r2[None, :] ** 2)
+    winB = winB & (z2[:, None] > 0)
+    dB = jnp.where(winB, d, 512)
+    m12 = jnp.argmin(dB, axis=1)  # [N1] best f2 feature per f1 point
+    okB = jnp.min(dB, axis=1) <= max_hamming
+
+    # mutual agreement (reference: accept when both searches pick the
+    # same pair)
+    agree = (
+        okB
+        & (m21[jnp.clip(m12, 0)] == jnp.arange(m12.shape[0]))
+        & okA[jnp.clip(m12, 0)]
+    )
+    out = jnp.where(agree, m12, -1)
+    return out, jnp.sum((out >= 0).astype(jnp.int32))
+
+
+@f32_matmuls
+@functools.partial(jax.jit, static_argnames=())
 def match_by_descriptor_to_map(
     frame: FrameData,
     pts_desc: jax.Array,  # [P, 8]

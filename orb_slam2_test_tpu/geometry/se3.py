@@ -53,28 +53,20 @@ def so3_exp(omega: jax.Array) -> jax.Array:
 def so3_log(R: jax.Array) -> jax.Array:
     """Inverse Rodrigues: R [..., 3, 3] -> omega [..., 3].
 
-    Stable away from theta = pi (ORB-SLAM2 never needs the pi branch in its
-    optimizers; relative rotations between consecutive frames are small).
+    Via the quaternion: omega = 2 atan2(|v|, w) v/|v|, globally stable
+    including theta near pi (pose-graph optimization after a large loop
+    correction produces big relative rotations; the naive antisymmetric
+    -part formula degenerates there and silently returns ~0).
     """
-    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
-    theta = jnp.arccos(cos_theta)
-    # vee of the antisymmetric part
-    w = jnp.stack(
-        [
-            R[..., 2, 1] - R[..., 1, 2],
-            R[..., 0, 2] - R[..., 2, 0],
-            R[..., 1, 0] - R[..., 0, 1],
-        ],
-        axis=-1,
-    )
-    sin_theta = jnp.sin(theta)
-    scale = jnp.where(
-        jnp.abs(sin_theta) > _EPS,
-        theta / (2.0 * sin_theta),
-        0.5 + theta * theta / 12.0,
-    )
-    return scale[..., None] * w
+    q = quat_from_rotmat(R)
+    v, w = q[..., :3], q[..., 3]
+    # shortest rotation: flip to the w >= 0 hemisphere
+    sgn = jnp.where(w < 0.0, -1.0, 1.0)
+    v = v * sgn[..., None]
+    w = w * sgn
+    n = jnp.sqrt(jnp.sum(v * v, axis=-1) + _EPS * _EPS)
+    # theta/|v| computed with the eps-padded norm: smooth 2/w limit at 0
+    return (2.0 * jnp.arctan2(n, w) / n)[..., None] * v
 
 
 def _left_jacobian(omega: jax.Array) -> jax.Array:
@@ -137,6 +129,30 @@ def rt_to_mat(R: jax.Array, t: jax.Array) -> jax.Array:
     T = T.at[..., :3, 3].set(t)
     T = T.at[..., 3, 3].set(1.0)
     return T
+
+
+def so3_project(R: jax.Array) -> jax.Array:
+    """Project a near-rotation onto SO(3) (Gram-Schmidt on columns).
+
+    Iterated pose composition in f32 lets a tiny scale/skew creep into
+    R; `se3_inverse`'s transpose-inverse then SQUARES that error, and
+    the tracker's constant-velocity feedback (pose -> velocity ->
+    predicted pose -> optimized pose) doubles it every frame until the
+    motion model collapses. Optimizers must re-project onto the
+    manifold after composing updates.
+    """
+    x = R[..., :, 0]
+    x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    y = R[..., :, 1]
+    y = y - jnp.sum(x * y, axis=-1, keepdims=True) * x
+    y = y / jnp.linalg.norm(y, axis=-1, keepdims=True)
+    z = jnp.cross(x, y)
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def se3_project(T: jax.Array) -> jax.Array:
+    """Re-orthonormalize the rotation block of a rigid transform."""
+    return rt_to_mat(so3_project(T[..., :3, :3]), T[..., :3, 3])
 
 
 def se3_inverse(T: jax.Array) -> jax.Array:

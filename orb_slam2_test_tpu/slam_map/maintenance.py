@@ -134,17 +134,20 @@ def update_distinctive_descriptors(
     score = jnp.sum(c_rows, axis=-1) + pop * n_rows - 2.0 * cross
     score = jnp.where(pid < P, score, jnp.inf)
 
-    # scatter-argmin: encode (score, obs index) and take the min per point
+    # scatter-argmin in two passes (packing (score, idx) into one float
+    # would exceed the f32 mantissa and select garbage): min score per
+    # point, then the lowest observation index achieving it
     O = bits.shape[0]
-    enc = score * (O + 1) + jnp.arange(O, dtype=jnp.float32)
-    best = jnp.full((P,), jnp.inf).at[pid].min(enc, mode="drop")
-    win_obs = jnp.where(
-        jnp.isfinite(best), (best % (O + 1)).astype(jnp.int32), 0
-    )
+    best = jnp.full((P,), jnp.inf).at[pid].min(score, mode="drop")
+    is_best = (pid < P) & (score <= best[pid_safe] + 0.5)
+    win = jnp.full((P,), O, jnp.int32).at[
+        jnp.where(is_best, pid, P)
+    ].min(jnp.arange(O, dtype=jnp.int32), mode="drop")
+    win_obs = jnp.clip(win, 0, O - 1)
     new_desc = desc[win_obs]  # [P, 8]
     # only refresh points with >= 2 window observations (a single
     # observation carries no selection information)
-    upd = m.pt_valid & (nobs >= 2)
+    upd = m.pt_valid & (nobs >= 2) & (win < O)
     return m._replace(
         pt_desc=jnp.where(upd[:, None], new_desc, m.pt_desc)
     )

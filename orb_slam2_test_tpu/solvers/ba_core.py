@@ -304,7 +304,13 @@ def _schur_step_cg(
 
 
 def _apply_update(prob: BAProblem, dxc, dxp) -> BAProblem:
-    new_Tcw = jax.vmap(lambda d, T: se3_exp(d) @ T)(dxc, prob.cam_Tcw)
+    from orb_slam2_test_tpu.geometry.se3 import se3_project
+
+    # re-project onto SE3: f32 scale/skew creep in R is amplified by
+    # downstream transpose-inverses (geometry/se3.py so3_project doc)
+    new_Tcw = jax.vmap(lambda d, T: se3_project(se3_exp(d) @ T))(
+        dxc, prob.cam_Tcw
+    )
     new_Tcw = jnp.where(
         prob.cam_fixed[:, None, None], prob.cam_Tcw, new_Tcw
     )

@@ -39,12 +39,20 @@ def optimize_essential_graph(
     edge_Sji: jax.Array,  # [E, 4, 4] measured S_jw * S_iw^-1
     edge_valid: jax.Array,  # [E]
     edge_weight: jax.Array,  # [E] information scale (1 normally)
-    iters: int = 20,
+    iters: int = 40,
     fix_scale: bool = False,
-    damping: float = 1e-6,
+    lambda_init: float = 1e-4,
 ) -> jax.Array:
-    """Returns optimized Scw [K, 4, 4]."""
+    """Returns optimized Scw [K, 4, 4].
+
+    Levenberg-Marquardt with chi2-gated accept/reject (the reference's
+    g2o OptimizationAlgorithmLevenberg does the same): a rejected step
+    keeps the poses and raises lambda, so the iteration can never make
+    the graph worse — plain Gauss-Newton diverges when a loop closure
+    injects large residuals into a long drifted chain.
+    """
     K = Scw.shape[0]
+    locked = node_fixed | ~node_valid
 
     def edge_residual(xi_i, xi_j, Siw, Sjw, Sji):
         Si = sim3_exp(xi_i) @ Siw
@@ -52,8 +60,19 @@ def optimize_essential_graph(
         return sim3_log(Sji @ Si @ sim3_inverse(Sj))  # [7]
 
     zero = jnp.zeros(7)
+    w_edge = (edge_valid & node_valid[edge_i] & node_valid[edge_j]).astype(
+        jnp.float32
+    ) * edge_weight
 
-    def lm_iter(Scw, _):
+    def total_chi2(Scw):
+        r = jax.vmap(
+            lambda Si, Sj, Sm: edge_residual(zero, zero, Si, Sj, Sm)
+        )(Scw[edge_i], Scw[edge_j], edge_Sji)
+        r = jnp.where(jnp.isfinite(r), r, 1e6)
+        return jnp.sum(w_edge * jnp.sum(r * r, axis=-1))
+
+    def lm_iter(carry, _):
+        Scw, lam, chi2 = carry
         Siw = Scw[edge_i]
         Sjw = Scw[edge_j]
 
@@ -68,9 +87,7 @@ def optimize_essential_graph(
             return r, Ji, Jj
 
         r, Ji, Jj = jax.vmap(per_edge)(Siw, Sjw, edge_Sji)  # [E,7],[E,7,7]x2
-        w = (edge_valid & node_valid[edge_i] & node_valid[edge_j]).astype(
-            jnp.float32
-        ) * edge_weight
+        w = w_edge
 
         # assemble dense H [K, K, 7, 7] and b [K, 7]
         wJi = Ji * w[:, None, None]
@@ -91,7 +108,6 @@ def optimize_essential_graph(
         b = b.at[edge_j].add(bj)
 
         # fixed / invalid nodes: identity rows
-        locked = node_fixed | ~node_valid
         H = jnp.where(
             locked[:, None, None, None] | locked[None, :, None, None], 0.0, H
         )
@@ -104,11 +120,24 @@ def optimize_essential_graph(
             H = H.at[jnp.arange(K), jnp.arange(K), 6, 6].add(1e12)
 
         Hd = H.transpose(0, 2, 1, 3).reshape(K * 7, K * 7)
-        Hd = Hd + damping * jnp.eye(K * 7)
+        diag = jnp.diagonal(Hd)
+        Hd = Hd + lam * jnp.diag(jnp.maximum(diag, 1e-8)) + 1e-9 * jnp.eye(
+            K * 7
+        )
         dx = jnp.linalg.solve(Hd, b.reshape(K * 7)).reshape(K, 7)
         dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
-        new = jax.vmap(lambda d, S: sim3_exp(d) @ S)(dx, Scw)
-        return jnp.where(locked[:, None, None], Scw, new), None
+        cand = jax.vmap(lambda d, S: sim3_exp(d) @ S)(dx, Scw)
+        cand = jnp.where(locked[:, None, None], Scw, cand)
 
-    Scw, _ = jax.lax.scan(lm_iter, Scw, None, length=iters)
+        chi2_new = total_chi2(cand)
+        accept = jnp.isfinite(chi2_new) & (chi2_new <= chi2)
+        Scw_next = jnp.where(accept, cand, Scw)
+        lam_next = jnp.clip(
+            jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6
+        )
+        chi2_next = jnp.where(accept, chi2_new, chi2)
+        return (Scw_next, lam_next, chi2_next), None
+
+    carry = (Scw, jnp.asarray(lambda_init), total_chi2(Scw))
+    (Scw, _, _), _ = jax.lax.scan(lm_iter, carry, None, length=iters)
     return Scw

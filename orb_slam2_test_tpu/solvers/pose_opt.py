@@ -29,7 +29,7 @@ from orb_slam2_test_tpu.geometry.robust import (
     HUBER_STEREO,
     huber_weight,
 )
-from orb_slam2_test_tpu.geometry.se3 import se3_exp
+from orb_slam2_test_tpu.geometry.se3 import se3_exp, se3_project
 from orb_slam2_test_tpu.solvers.reprojection import project_residual
 
 
@@ -131,7 +131,11 @@ def _pose_optimization_xla(
         return (Tcw, inlier_mask)
 
     inlier0 = jnp.ones(X.shape[0], dtype=bool)
+    # keep the initial pose on the SE3 manifold (a scaled/skewed input
+    # rotation would survive every exp-composed update below)
+    Tcw0 = se3_project(Tcw0)
     Tcw, inliers = jax.lax.fori_loop(0, rounds, round_body, (Tcw0, inlier0))
+    Tcw = se3_project(Tcw)
 
     res = project_residual(cam, Tcw, X, obs, inv_sigma2)
     inliers = inliers & valid

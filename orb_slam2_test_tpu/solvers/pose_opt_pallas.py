@@ -295,7 +295,9 @@ def pose_optimization_tpu(
             plane(inv_sigma2), plane(valid),
         ]
     )
-    T_flat = jnp.asarray(Tcw0, jnp.float32).reshape(16)
+    from orb_slam2_test_tpu.geometry.se3 import se3_project
+
+    T_flat = se3_project(jnp.asarray(Tcw0, jnp.float32)).reshape(16)
 
     kern = _make_kernel(cam, rounds, iters_per_round, damping)
     T_out, inl, chi2 = pl.pallas_call(
@@ -317,7 +319,7 @@ def pose_optimization_tpu(
         interpret=jax.default_backend() != "tpu",
     )(T_flat, data)
 
-    Tcw = T_out.reshape(4, 4)
+    Tcw = se3_project(T_out.reshape(4, 4))
     inliers = inl.reshape(OP)[:O] > 0.5
     chi2 = chi2.reshape(OP)[:O]
     return Tcw, inliers, chi2
