@@ -20,6 +20,7 @@ so the host/device boundary sits at whole-stage granularity.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import numpy as np
@@ -77,7 +78,13 @@ class TrackerConfig:
     min_local_inliers: int = 30
     min_depth_init_points: int = 500  # reference StereoInitialization
     max_frames_between_kf: int = 30
-    kf_ref_ratio: float = 0.9  # reference thRefRatio for mono
+    kf_ref_ratio: float = 0.9  # reference thRefRatio (0.9 mono, 0.75 stereo)
+    th_depth: float = 35.0  # ThDepth: close/far point threshold, x baseline
+    # close-point-deficit keyframe trigger (reference NeedNewKeyFrame:
+    # nTrackedClose < 100 && nNonTrackedClose > 70 — constants assume
+    # 1000-2000 features; scale them down with nFeatures)
+    kf_close_tracked_max: int = 100
+    kf_close_untracked_min: int = 70
     enable_fuse: bool = True  # SearchInNeighbors duplicate fusion
     enable_kf_culling: bool = True  # KeyFrameCulling
     seed: int = 0
@@ -107,6 +114,138 @@ class TrackingState:
     LOST = "LOST"
 
 
+# ---------------------------------------------------------------------------
+# Fused per-frame device stages. Each tracking stage is ONE jitted
+# program (matcher + motion-only BA + bookkeeping) with a single host
+# transfer of its scalars/pose at the end — the op-by-op eager version
+# paid a device round-trip per jnp call, which dominates per-frame time
+# behind a remote-TPU tunnel (~100ms/stage -> ~ms).
+# ---------------------------------------------------------------------------
+
+
+def _pose_opt_on(cam, cfg, m, frame, feat_pt, Tcw_init):
+    """Motion-only BA on feature->point matches (device-side body)."""
+    has = feat_pt >= 0
+    pid = jnp.clip(feat_pt, 0)
+    X = m.pt_xyz[pid]
+    uvr = jnp.concatenate([frame.uv, frame.ur[:, None]], axis=-1)
+    sig2 = jnp.asarray(cfg.map_capacity.level_sigma2)
+    isig2 = 1.0 / sig2[frame.level]
+    return pose_optimization(
+        cam, Tcw_init, X, uvr, isig2, has & frame.valid
+    )
+
+
+def _motion_body(cam, cfg, m, frame, pred, last_feat_pt):
+    """TrackWithMotionModel: project last frame's points at the
+    constant-velocity prediction, match, optimize (Tracking.cc:~730)."""
+    P = m.pt_valid.shape[0]
+    pid = jnp.where(last_feat_pt >= 0, last_feat_pt, P)
+    seen = jnp.zeros((P,), bool).at[pid].set(True, mode="drop")
+    pm = search_by_projection(
+        cam, pred,
+        m.pt_xyz, m.pt_desc, m.pt_valid & seen,
+        m.pt_normal, m.pt_min_dist, m.pt_max_dist,
+        jnp.arange(P, dtype=jnp.int32), frame,
+        radius=cfg.motion_radius,
+        scale_factor=cfg.scale_factor,
+        n_levels=cfg.n_levels,
+        check_view_cos=False,
+    )
+    res = _pose_opt_on(cam, cfg, m, frame, pm.feat_pt, pred)
+    feat_inl = jnp.where(res.inliers, pm.feat_pt, -1)
+    return pm.n_matches, res.Tcw, res.n_inliers, feat_inl
+
+
+def _local_map_body(cam, cfg, m, frame, Tcw, cur_feat_pt, ref_kf):
+    """TrackLocalMap: covisibility-vote local keyframes, project their
+    points, match (ratio 0.8), optimize, update visibility statistics
+    (Tracking.cc:~800 UpdateLocalMap/SearchLocalPoints)."""
+    P = m.pt_valid.shape[0]
+    cur_pts = jnp.where(cur_feat_pt >= 0, cur_feat_pt, P)
+    ind = jnp.zeros((P,), jnp.float32).at[cur_pts].set(1.0, mode="drop")
+    linked = (m.kf_pt_idx >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    votes = jnp.sum(
+        jnp.where(linked, ind[jnp.clip(m.kf_pt_idx, 0)], 0.0), axis=1
+    )
+    vw, vkf = jax.lax.top_k(votes, cfg.local_kf_cap)
+    local_kf = jnp.where(vw > 0, vkf, -1)
+
+    lsafe = jnp.clip(local_kf, 0)
+    rows = jnp.where((local_kf >= 0)[:, None], m.kf_pt_idx[lsafe], -1)
+    pmask = jnp.zeros((P,), bool).at[
+        jnp.where(rows >= 0, rows, P)
+    ].set(True, mode="drop") & m.pt_valid
+
+    pm = search_by_projection(
+        cam, Tcw,
+        m.pt_xyz, m.pt_desc, pmask,
+        m.pt_normal, m.pt_min_dist, m.pt_max_dist,
+        jnp.arange(P, dtype=jnp.int32), frame,
+        radius=cfg.local_radius,
+        ratio=0.8,
+        scale_factor=cfg.scale_factor,
+        n_levels=cfg.n_levels,
+    )
+    feat_pt = jnp.where(cur_feat_pt >= 0, cur_feat_pt, pm.feat_pt)
+    res = _pose_opt_on(cam, cfg, m, frame, feat_pt, Tcw)
+    new_feat = jnp.where(res.inliers, feat_pt, -1)
+    seen = jnp.where(new_feat >= 0, new_feat, P)
+    vis = jnp.zeros((P,), jnp.float32).at[seen].add(1.0, mode="drop")
+    # current reference-KF pose rides along in the same transfer (the
+    # per-frame relative-trajectory entry needs it on the host)
+    new_ref = jnp.where(vw[0] > 0, vkf[0], ref_kf)
+    ref_Tcw = m.kf_Tcw[new_ref]
+    return vw[0], vkf[0], res.Tcw, res.n_inliers, new_feat, vis, ref_Tcw
+
+
+_local_map_step_device = functools.partial(
+    jax.jit, static_argnames=("cam", "cfg")
+)(_local_map_body)
+
+
+@jax.jit
+def _close_counts_device(depth, valid, feat_pt, close_depth):
+    """NeedNewKeyFrame close-point statistics (one fused reduction)."""
+    is_close = valid & (depth > 0) & (depth < close_depth)
+    tracked = feat_pt >= 0
+    return (
+        jnp.sum((is_close & tracked).astype(jnp.int32)),
+        jnp.sum((is_close & ~tracked).astype(jnp.int32)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def _track_frame_device(cam, cfg, m, frame, pred, last_feat_pt, ref_kf,
+                        close_depth):
+    """The whole happy-path frame: motion-model tracking -> local-map
+    tracking -> keyframe-decision statistics, ONE device program with
+    ONE host sync per frame. When the motion model fails its gates the
+    host discards the speculative local-map result and falls back to
+    reference-KF tracking (rare — the reference's flow, Tracking::Track).
+    """
+    n_m, Tcw_m, n_inl_m, feat_m = _motion_body(
+        cam, cfg, m, frame, pred, last_feat_pt
+    )
+    # speculative local map from the motion result (discarded on the
+    # host if the motion gates fail)
+    local = _local_map_body(cam, cfg, m, frame, Tcw_m, feat_m, ref_kf)
+    new_feat = local[4]
+    n_tc, n_uc = _close_counts_body(
+        frame.depth, frame.valid, new_feat, close_depth
+    )
+    return (n_m, n_inl_m, Tcw_m) + local + (n_tc, n_uc)
+
+
+def _close_counts_body(depth, valid, feat_pt, close_depth):
+    is_close = valid & (depth > 0) & (depth < close_depth)
+    tracked = feat_pt >= 0
+    return (
+        jnp.sum((is_close & tracked).astype(jnp.int32)),
+        jnp.sum((is_close & ~tracked).astype(jnp.int32)),
+    )
+
+
 class Tracker:
     """Host-side tracking driver. Owns the MapState and per-frame state."""
 
@@ -114,6 +253,11 @@ class Tracker:
         self.cam = cam
         self.cfg = config
         self.cap = config.map_capacity
+        # metric close/far threshold (reference: mThDepth = mbf/fx *
+        # ThDepth in Tracking ctor); None for pure monocular
+        self.close_depth = (
+            config.th_depth * cam.baseline if cam.bf else None
+        )
         self.state = TrackingState.NOT_INITIALIZED
         self.map: MapState = make_empty_map(self.cap)
         self.key = jax.random.PRNGKey(config.seed)
@@ -128,6 +272,7 @@ class Tracker:
         self.velocity = None  # [4, 4] or None
         self.ref_kf = 0
         self.ref_kf_tracked = 0
+        self._ref_Tcw_host = None  # host cache of kf_Tcw[ref_kf]
         self.frames_since_kf = 0
         self.frame_id = 0
         self.trajectory = []  # (timestamp, Tcw np [4,4]) per tracked frame
@@ -210,23 +355,38 @@ class Tracker:
             self.last_frame = frame
             return self.current_pose()
 
+        self._close_counts = None  # per-frame cache (fused path fills it)
         if self.state == TrackingState.LOST:
             with profiler.span("relocalization"):
                 ok = self._relocalize(frame)
+            if ok:
+                with profiler.span("track_local_map"):
+                    ok = self._track_local_map(frame)
         else:
-            with profiler.span("track_motion_model"):
-                ok = self._track_motion_model(frame)
-            if not ok:
+            handled = False
+            if self.velocity is not None and self.last_feat_pt is not None:
+                # happy path: motion model + local map + KF statistics
+                # in ONE device program with ONE host sync
+                with profiler.span("track_frame_fused"):
+                    handled, ok = self._track_frame_fused(frame)
+            if not handled:
+                # motion model unavailable or its gates failed:
+                # reference-KF BoW-style fallback, then local map
                 with profiler.span("track_reference_kf"):
                     ok = self._track_reference_kf(frame)
-        if ok:
-            with profiler.span("track_local_map"):
-                ok = self._track_local_map(frame)
+                if ok:
+                    with profiler.span("track_local_map"):
+                        ok = self._track_local_map(frame)
         if ok:
             self.state = TrackingState.OK
-            self.velocity = self.last_Tcw @ np.asarray(
-                se3_inverse(jnp.asarray(self._prev_Tcw))
-            )
+            # velocity = Tcw_t @ Tcw_{t-1}^-1, host-side (4x4 numpy;
+            # explicit SE3 inverse, no device round-trip per frame)
+            Rp = self._prev_Tcw[:3, :3]
+            tp = self._prev_Tcw[:3, 3]
+            prev_inv = np.eye(4)
+            prev_inv[:3, :3] = Rp.T
+            prev_inv[:3, 3] = -Rp.T @ tp
+            self.velocity = self.last_Tcw @ prev_inv
             if not self.localization_only:
                 with profiler.span("keyframe_insert"):
                     self._maybe_insert_keyframe(frame, use_depth)
@@ -234,7 +394,9 @@ class Tracker:
             self.trajectory.append(
                 (float(frame.timestamp), np.asarray(self.last_Tcw))
             )
-            T_ref = np.asarray(self.map.kf_Tcw[self.ref_kf])
+            T_ref = getattr(self, "_ref_Tcw_host", None)
+            if T_ref is None:
+                T_ref = np.asarray(self.map.kf_Tcw[self.ref_kf])
             self.rel_trajectory.append(
                 (
                     float(frame.timestamp),
@@ -246,6 +408,12 @@ class Tracker:
             self.state = TrackingState.LOST
             self.stats["lost_frames"] += 1
             self.velocity = None
+            # lost right after initialization with a tiny map: start
+            # over (reference Tracking::Track -> mpSystem->Reset() when
+            # KeyFramesInMap() <= 5)
+            if self.stats["n_kf"] <= 5 and not self.localization_only:
+                self.reset()
+                return None
         self.last_frame = frame
         self.frames_since_kf += 1
         return self.current_pose() if ok else None
@@ -258,6 +426,7 @@ class Tracker:
         System::Reset or by early tracking failure after mono init)."""
         self.state = TrackingState.NOT_INITIALIZED
         self.map = make_empty_map(self.cap)
+        self._ref_Tcw_host = None
         self.init_frame = None
         self.last_frame = None
         self.last_feat_pt = None
@@ -484,38 +653,50 @@ class Tracker:
         )
         return res
 
-    def _track_motion_model(self, frame: FrameData) -> bool:
-        if self.velocity is None or self.last_feat_pt is None:
-            return False
-        pred = jnp.asarray(self.velocity @ self.last_Tcw)
-        m = self.map
-        # last frame's points, projected into the predicted pose
-        pm = search_by_projection(
-            self.cam, pred,
-            m.pt_xyz, m.pt_desc, m.pt_valid & (self.last_feat_pt_mask()),
-            m.pt_normal, m.pt_min_dist, m.pt_max_dist,
-            jnp.arange(m.pt_valid.shape[0], dtype=jnp.int32),
-            frame,
-            radius=self.cfg.motion_radius,
-            scale_factor=self.cfg.scale_factor,
-            n_levels=self.cfg.n_levels,
-            check_view_cos=False,
-        )
-        if int(pm.n_matches) < self.cfg.min_track_matches:
-            return False
-        res = self._pose_opt_from_matches(frame, pm.feat_pt, pred)
-        if int(res.n_inliers) < 10:
-            return False
-        self._prev_Tcw = self.last_Tcw
-        self.last_Tcw = np.asarray(res.Tcw)
-        self.cur_feat_pt = jnp.where(res.inliers, pm.feat_pt, -1)
-        return True
+    def _track_frame_fused(self, frame: FrameData):
+        """Happy-path frame: TrackWithMotionModel + TrackLocalMap +
+        NeedNewKeyFrame statistics as one device program, one sync.
 
-    def last_feat_pt_mask(self):
-        """[P] bool — points observed in the last frame."""
-        P = self.map.pt_valid.shape[0]
-        pid = jnp.where(self.last_feat_pt >= 0, self.last_feat_pt, P)
-        return jnp.zeros((P,), bool).at[pid].set(True, mode="drop")
+        Returns (handled, ok): handled=False means the motion-model
+        gates failed and the caller must run the reference-KF fallback
+        (the speculative local-map output is discarded, matching the
+        sequential reference flow).
+        """
+        pred = jnp.asarray(self.velocity @ self.last_Tcw)
+        cd = jnp.asarray(
+            self.close_depth if self.close_depth is not None else 0.0,
+            jnp.float32,
+        )
+        (n_m, n_inl_m, Tcw_m, vw0, vkf0, Tcw_l, n_inl_l, new_feat, vis,
+         ref_Tcw, n_tc, n_uc) = _track_frame_device(
+            self.cam, self.cfg, self.map, frame, pred, self.last_feat_pt,
+            jnp.asarray(self.ref_kf, jnp.int32), cd,
+        )
+        (n_m, n_inl_m, Tcw_m, vw0, vkf0, n_inl_l, Tcw_np, ref_np,
+         n_tc, n_uc) = jax.device_get(
+            (n_m, n_inl_m, Tcw_m, vw0, vkf0, n_inl_l, Tcw_l, ref_Tcw,
+             n_tc, n_uc)
+        )
+        if int(n_m) < self.cfg.min_track_matches or int(n_inl_m) < 10:
+            return False, False
+        # motion model accepted (Tracking::TrackWithMotionModel true)
+        self._prev_Tcw = self.last_Tcw
+        self.last_Tcw = np.asarray(Tcw_m)
+        if float(vw0) > 0:
+            self.ref_kf = int(vkf0)
+        self._ref_Tcw_host = np.asarray(ref_np)
+        n_inl_l = int(n_inl_l)
+        if n_inl_l < self.cfg.min_local_inliers:
+            return True, False  # local map rejected -> LOST
+        self.last_Tcw = np.asarray(Tcw_np)
+        self.cur_feat_pt = new_feat
+        self.n_tracked = n_inl_l
+        m = self.map
+        self.map = m._replace(
+            pt_visible=m.pt_visible + vis, pt_found=m.pt_found + vis
+        )
+        self._close_counts = (int(n_tc), int(n_uc))
+        return True, True
 
     def _track_reference_kf(self, frame: FrameData) -> bool:
         m = self.map
@@ -539,54 +720,28 @@ class Tracker:
 
     def _track_local_map(self, frame: FrameData) -> bool:
         m = self.map
-        P = m.pt_valid.shape[0]
-        # local keyframes by covisibility votes from current matches
-        cur_pts = jnp.where(self.cur_feat_pt >= 0, self.cur_feat_pt, P)
-        ind = jnp.zeros((P,), jnp.float32).at[cur_pts].set(1.0, mode="drop")
-        linked = (m.kf_pt_idx >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
-        votes = jnp.sum(
-            jnp.where(linked, ind[jnp.clip(m.kf_pt_idx, 0)], 0.0), axis=1
+        (vw0, vkf0, Tcw, n_inliers, new_feat, vis,
+         ref_Tcw) = _local_map_step_device(
+            self.cam, self.cfg, m, frame,
+            jnp.asarray(self.last_Tcw), self.cur_feat_pt,
+            jnp.asarray(self.ref_kf, jnp.int32),
         )
-        vw, vkf = jax.lax.top_k(votes, self.cfg.local_kf_cap)
-        local_kf = jnp.where(vw > 0, vkf, -1)
+        vw0, vkf0, n_inl, Tcw_np, ref_Tcw_np = jax.device_get(
+            (vw0, vkf0, n_inliers, Tcw, ref_Tcw)
+        )
+        self._ref_Tcw_host = np.asarray(ref_Tcw_np)
         # update reference keyframe = most-sharing KF (reference:
         # pKFmax in UpdateLocalKeyFrames)
-        if int(vw[0]) > 0:
-            self.ref_kf = int(vkf[0])
-
-        # local point set = points of local KFs
-        lsafe = jnp.clip(local_kf, 0)
-        rows = jnp.where(
-            (local_kf >= 0)[:, None], m.kf_pt_idx[lsafe], -1
-        )
-        pmask = jnp.zeros((P,), bool).at[
-            jnp.where(rows >= 0, rows, P)
-        ].set(True, mode="drop") & m.pt_valid
-
-        pm = search_by_projection(
-            self.cam, jnp.asarray(self.last_Tcw),
-            m.pt_xyz, m.pt_desc, pmask,
-            m.pt_normal, m.pt_min_dist, m.pt_max_dist,
-            jnp.arange(P, dtype=jnp.int32),
-            frame,
-            radius=self.cfg.local_radius,
-            ratio=0.8,
-            scale_factor=self.cfg.scale_factor,
-            n_levels=self.cfg.n_levels,
-        )
-        # keep existing matches where present
-        feat_pt = jnp.where(self.cur_feat_pt >= 0, self.cur_feat_pt, pm.feat_pt)
-        res = self._pose_opt_from_matches(frame, feat_pt, self.last_Tcw)
-        n_inl = int(res.n_inliers)
+        if float(vw0) > 0:
+            self.ref_kf = int(vkf0)
+        n_inl = int(n_inl)
         if n_inl < self.cfg.min_local_inliers:
             return False
-        self.last_Tcw = np.asarray(res.Tcw)
-        self.cur_feat_pt = jnp.where(res.inliers, feat_pt, -1)
+        self.last_Tcw = np.asarray(Tcw_np)
+        self.cur_feat_pt = new_feat
         self.n_tracked = n_inl
 
         # visibility statistics for culling (IncreaseVisible/IncreaseFound)
-        seen = jnp.where(self.cur_feat_pt >= 0, self.cur_feat_pt, P)
-        vis = jnp.zeros((P,), jnp.float32).at[seen].add(1.0, mode="drop")
         self.map = m._replace(
             pt_visible=m.pt_visible + vis, pt_found=m.pt_found + vis
         )
@@ -632,6 +787,24 @@ class Tracker:
             and self.n_tracked > self.cfg.min_track_matches
         ):
             need = True
+        # stereo/RGB-D close-point deficit (reference NeedNewKeyFrame:
+        # bNeedToInsertClose = nTrackedClose < 100 && nNonTrackedClose > 70)
+        if not need and use_depth and self.close_depth is not None:
+            if self._close_counts is not None:  # fused path computed it
+                n_tracked_close, n_untracked_close = self._close_counts
+            else:
+                n_tracked_close, n_untracked_close = jax.device_get(
+                    _close_counts_device(
+                        frame.depth, frame.valid, self.cur_feat_pt,
+                        self.close_depth,
+                    )
+                )
+            if (
+                int(n_tracked_close) < self.cfg.kf_close_tracked_max
+                and int(n_untracked_close) > self.cfg.kf_close_untracked_min
+                and self.n_tracked > self.cfg.min_track_matches
+            ):
+                need = True
         if not need:
             return
 
@@ -709,6 +882,8 @@ class Tracker:
         self.stats["n_kf"] += 1
         # refresh current matches from the (BA-updated) keyframe row
         self.cur_feat_pt = m.kf_pt_idx[kf]
+        # ref-KF pose cache is stale: new ref + BA/loop moved poses
+        self._ref_Tcw_host = None
 
     def _add_depth_points(self, m: MapState, frame: FrameData, kf_i):
         """Stereo/RGB-D keyframe: create points for close unmatched
@@ -721,6 +896,19 @@ class Tracker:
         xyz_c = backproject(self.cam, frame.uv, frame.depth)
         xyz_w = se3_apply(Twc, xyz_c)
         free = (m.kf_pt_idx[kf_i] < 0) & frame.valid & (frame.depth > 0)
+        # only CLOSE points are trustworthy enough to insert unmatched
+        # (reference CreateNewKeyFrame: depth-sorted insertion stops past
+        # mThDepth once >=100 points are in); far stereo depth is noisy
+        if self.close_depth is not None:
+            close = free & (frame.depth < self.close_depth)
+            if int(jnp.sum(close)) >= 100:
+                free = close
+            else:
+                # fewer than 100 close points: take the 100 nearest
+                d = jnp.where(free, frame.depth, jnp.inf)
+                nearest = jnp.argsort(d)[:100]
+                widen = jnp.zeros_like(free).at[nearest].set(True)
+                free = free & (close | widen)
         Ow = Twc[:3, 3]
         view = xyz_w - Ow
         dist = jnp.maximum(jnp.linalg.norm(view, axis=-1), 1e-9)

@@ -139,6 +139,7 @@ class SlamSettings:
             local_kf_cap=int(self.local_kf_cap),
             ba_pt_cap=int(self.ba_pt_cap),
             max_frames_between_kf=int(round(self.fps)),
+            th_depth=float(self.th_depth),
         )
         for f in (
             "min_init_matches", "min_init_triangulated",

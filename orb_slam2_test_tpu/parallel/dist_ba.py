@@ -51,6 +51,22 @@ from orb_slam2_test_tpu.solvers.reprojection import project_residual
 AXIS = "ba"
 
 
+def _cam_for_obs(cam: PinholeCamera, obs_cam) -> PinholeCamera:
+    """Per-observation intrinsics: if the camera's fields are [C] arrays
+    (multi-sequence joint BA — each sequence has its own calibration),
+    gather them by the observation's camera index; scalar fields pass
+    through unchanged (the single-calibration fast path)."""
+
+    def g(f):
+        a = jnp.asarray(f)
+        return a[obs_cam] if a.ndim >= 1 else f
+
+    return cam._replace(
+        fx=g(cam.fx), fy=g(cam.fy), cx=g(cam.cx), cy=g(cam.cy),
+        bf=g(cam.bf),
+    )
+
+
 def make_ba_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
@@ -121,7 +137,7 @@ def _local_blocks(cam, cam_Tcw, cam_fixed, pt_xyz, pt_valid,
     """Per-shard linearization (local arrays; obs_pt is shard-local)."""
     Tcw = cam_Tcw[obs_cam]
     X = pt_xyz[obs_pt]
-    res = project_residual(cam, Tcw, X, obs_uvr, obs_isig2)
+    res = project_residual(_cam_for_obs(cam, obs_cam), Tcw, X, obs_uvr, obs_isig2)
     is_stereo = obs_uvr[..., 2] >= 0.0
     delta = jnp.where(is_stereo, HUBER_STEREO, HUBER_MONO)
     w_huber = jnp.where(robust, huber_weight(res.chi2, delta), 1.0)
@@ -134,7 +150,8 @@ def _local_blocks(cam, cam_Tcw, cam_fixed, pt_xyz, pt_valid,
 def _cost(cam, cam_Tcw, pt_xyz, obs_cam, obs_pt, obs_uvr, obs_isig2,
           obs_valid):
     res = project_residual(
-        cam, cam_Tcw[obs_cam], pt_xyz[obs_pt], obs_uvr, obs_isig2
+        _cam_for_obs(cam, obs_cam), cam_Tcw[obs_cam], pt_xyz[obs_pt],
+        obs_uvr, obs_isig2,
     )
     is_stereo = obs_uvr[..., 2] >= 0.0
     delta = jnp.where(is_stereo, HUBER_STEREO, HUBER_MONO)
@@ -158,9 +175,10 @@ def dist_bundle_adjust(
     n = mesh.shape[AXIS]
     C = prob.cam_Tcw.shape[0]
 
-    def step_body(cam_Tcw, cam_fixed, pt_xyz, pt_valid,
+    def step_body(cam_arrs, cam_Tcw, cam_fixed, pt_xyz, pt_valid,
                   obs_cam, obs_pt, obs_uvr, obs_isig2, obs_valid,
                   lam, cost):
+        cam = PinholeCamera(*cam_arrs)
         def one_iter(carry, _):
             cam_Tcw, pt_xyz, lam, cost = carry
             res, Jc, Jp, w = _local_blocks(
@@ -245,7 +263,7 @@ def dist_bundle_adjust(
     fn = jax.shard_map(
         step_body,
         mesh=mesh,
-        in_specs=(repl, repl, sharded, sharded,
+        in_specs=(repl, repl, repl, sharded, sharded,
                   sharded, sharded, sharded, sharded, sharded,
                   repl, repl),
         out_specs=(repl, sharded, repl),
@@ -254,11 +272,15 @@ def dist_bundle_adjust(
 
     # device_put with the right shardings so shard_map gets blocked inputs
     cost0 = jnp.asarray(jnp.inf)
+    # intrinsics as a flat tuple of arrays (fields may be scalars or [C]
+    # arrays for multi-calibration joint BA); replicated across the mesh
+    cam_arrs = tuple(jnp.asarray(f, jnp.float32) for f in cam)
 
     @f32_matmuls
     @functools.partial(jax.jit)
     def run(prob):
         return fn(
+            cam_arrs,
             prob.cam_Tcw, prob.cam_fixed, prob.pt_xyz, prob.pt_valid,
             prob.obs_cam, prob.obs_pt, prob.obs_uvr, prob.obs_isig2,
             prob.obs_valid, jnp.asarray(lam0), cost0,

@@ -1,0 +1,327 @@
+"""Concurrent multi-sequence mapping: joint distributed BA over the
+maps of several independently-tracked sequences (BASELINE config 5,
+"KITTI 00+02+05 concurrent multi-sequence mapping").
+
+The reference (single-process ORB-SLAM2) cannot do this at all — one
+System owns one Map (reference: src/System.cc constructs a single
+Map/Tracking). Here, N sequences are tracked independently (each with
+its own MapState and calibration) and their camera-point bipartite
+graphs are merged into ONE block-diagonal BA problem that is
+point-sharded across a TPU device mesh (parallel/dist_ba.py): every
+device linearizes and Schur-reduces its slice of map points from ALL
+sequences, the reduced camera system is psum'd over ICI, and the dense
+camera solve is replicated. Per-sequence calibrations ride along as
+per-camera intrinsic arrays (dist_ba._cam_for_obs).
+
+Host-side compaction (numpy) keeps shapes tight: only valid keyframes /
+map points / observations enter the merged problem, so the joint solve
+cost tracks actual map size, not MapState capacity.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import NamedTuple, Sequence as Seq
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from orb_slam2_test_tpu.geometry.camera import PinholeCamera
+from orb_slam2_test_tpu.slam_map.mapstate import MapState
+from orb_slam2_test_tpu.solvers.ba_core import BAProblem
+from orb_slam2_test_tpu.parallel.dist_ba import (
+    dist_bundle_adjust,
+    make_ba_mesh,
+    shard_problem,
+)
+
+
+class CompactProblem(NamedTuple):
+    """A BAProblem built from the VALID entries of one MapState, plus
+    the slot ids needed to scatter the solution back."""
+
+    prob: BAProblem
+    kf_ids: np.ndarray  # [C] map slot of camera c
+    pt_ids: np.ndarray  # [Q] map slot of point q
+
+
+def compact_problem(
+    m: MapState,
+    scale_factor: float = 1.2,
+    max_cams: int | None = None,
+) -> CompactProblem | None:
+    """Extract a dense, minimal BAProblem from a MapState (host-side).
+
+    Equivalent of the reference's GlobalBundleAdjustemnt setup
+    (src/Optimizer.cc BundleAdjustment: all valid KFs + MapPoints +
+    their observations), but compacted: capacity padding and dead slots
+    are dropped so the merged multi-sequence problem stays small.
+
+    max_cams: keep only the most recent max_cams keyframes free; older
+    keyframes still contribute observations but are held fixed (bounds
+    the dense camera solve for long sequences).
+    """
+    kf_valid = np.asarray(m.kf_valid)
+    pt_valid = np.asarray(m.pt_valid)
+    kf_ids = np.where(kf_valid)[0]
+    pt_ids = np.where(pt_valid)[0]
+    if len(kf_ids) < 2 or len(pt_ids) < 8:
+        return None
+
+    K_cap = kf_valid.shape[0]
+    P_cap = pt_valid.shape[0]
+    inv_kf = np.full(K_cap, -1, np.int64)
+    inv_kf[kf_ids] = np.arange(len(kf_ids))
+    inv_pt = np.full(P_cap, -1, np.int64)
+    inv_pt[pt_ids] = np.arange(len(pt_ids))
+
+    kf_pt_idx = np.asarray(m.kf_pt_idx)[kf_ids]  # [C, N]
+    kp_valid = np.asarray(m.kf_kp_valid)[kf_ids]
+    obs_mask = (kf_pt_idx >= 0) & kp_valid
+    obs_mask &= np.where(obs_mask, pt_valid[np.clip(kf_pt_idx, 0, P_cap - 1)], False)
+    oc, of = np.nonzero(obs_mask)  # camera row, feature col
+
+    uv = np.asarray(m.kf_uv)[kf_ids][oc, of]
+    ur = np.asarray(m.kf_ur)[kf_ids][oc, of]
+    lvl = np.asarray(m.kf_level)[kf_ids][oc, of].astype(np.float32)
+    isig2 = 1.0 / scale_factor ** (2.0 * lvl)
+
+    obs_pt = inv_pt[kf_pt_idx[oc, of]]
+
+    # gauge: first (oldest) keyframe fixed, as the reference fixes KF 0.
+    # For purely monocular maps, fix the second keyframe too — mono BA
+    # has a scale gauge freedom (the reference leaves it free and relies
+    # on LM damping; fixing two poses makes the joint problem well-posed
+    # so one drifting sequence can't slow everyone's LM schedule).
+    cam_fixed = np.zeros(len(kf_ids), bool)
+    cam_fixed[0] = True
+    if not np.any(ur >= 0.0) and len(kf_ids) > 1:
+        cam_fixed[1] = True
+    if max_cams is not None and len(kf_ids) > max_cams:
+        cam_fixed[: len(kf_ids) - max_cams] = True
+
+    prob = BAProblem(
+        cam_Tcw=jnp.asarray(np.asarray(m.kf_Tcw)[kf_ids]),
+        cam_fixed=jnp.asarray(cam_fixed),
+        pt_xyz=jnp.asarray(np.asarray(m.pt_xyz)[pt_ids]),
+        pt_valid=jnp.ones(len(pt_ids), bool),
+        obs_cam=jnp.asarray(oc.astype(np.int32)),
+        obs_pt=jnp.asarray(obs_pt.astype(np.int32)),
+        obs_uvr=jnp.asarray(
+            np.concatenate([uv, ur[:, None]], axis=1).astype(np.float32)
+        ),
+        obs_isig2=jnp.asarray(isig2.astype(np.float32)),
+        obs_valid=jnp.ones(len(oc), bool),
+    )
+    return CompactProblem(prob, kf_ids, pt_ids)
+
+
+class MergedProblem(NamedTuple):
+    prob: BAProblem
+    cam: PinholeCamera  # per-camera intrinsics, fields shaped [C_total]
+    cam_offsets: list  # camera index offset per sequence
+    pt_offsets: list  # point index offset per sequence
+    parts: list  # list[CompactProblem]
+
+
+def merge_problems(
+    parts: Seq[CompactProblem], cams: Seq[PinholeCamera]
+) -> MergedProblem:
+    """Concatenate per-sequence problems into one block-diagonal joint
+    problem with per-camera intrinsic arrays. Sequences share no points
+    and no cameras, so the joint Schur-reduced camera system is
+    block-diagonal — solving it jointly is exact, and point-sharding
+    mixes points from all sequences across devices for load balance."""
+    cam_off, pt_off = [], []
+    co = po = 0
+    for p in parts:
+        cam_off.append(co)
+        pt_off.append(po)
+        co += p.prob.cam_Tcw.shape[0]
+        po += p.prob.pt_xyz.shape[0]
+
+    def cat(fn, axis=0):
+        return jnp.concatenate([fn(p.prob) for p in parts], axis=axis)
+
+    prob = BAProblem(
+        cam_Tcw=cat(lambda q: q.cam_Tcw),
+        cam_fixed=cat(lambda q: q.cam_fixed),
+        pt_xyz=cat(lambda q: q.pt_xyz),
+        pt_valid=cat(lambda q: q.pt_valid),
+        obs_cam=jnp.concatenate(
+            [p.prob.obs_cam + cam_off[i] for i, p in enumerate(parts)]
+        ),
+        obs_pt=jnp.concatenate(
+            [p.prob.obs_pt + pt_off[i] for i, p in enumerate(parts)]
+        ),
+        obs_uvr=cat(lambda q: q.obs_uvr),
+        obs_isig2=cat(lambda q: q.obs_isig2),
+        obs_valid=cat(lambda q: q.obs_valid),
+    )
+
+    def field(name):
+        return jnp.concatenate(
+            [
+                jnp.full(
+                    (parts[i].prob.cam_Tcw.shape[0],),
+                    float(getattr(cams[i], name)),
+                    jnp.float32,
+                )
+                for i in range(len(parts))
+            ]
+        )
+
+    joint_cam = cams[0]._replace(
+        fx=field("fx"), fy=field("fy"), cx=field("cx"), cy=field("cy"),
+        bf=field("bf"),
+    )
+    return MergedProblem(prob, joint_cam, cam_off, pt_off, list(parts))
+
+
+def scatter_back(
+    m: MapState, part: CompactProblem, cam_Tcw: np.ndarray,
+    pt_xyz: np.ndarray,
+) -> MapState:
+    """Write a sequence's solved poses/points back into its MapState."""
+    kf_Tcw = jnp.asarray(m.kf_Tcw).at[jnp.asarray(part.kf_ids)].set(
+        jnp.asarray(cam_Tcw)
+    )
+    new_xyz = jnp.asarray(m.pt_xyz).at[jnp.asarray(part.pt_ids)].set(
+        jnp.asarray(pt_xyz)
+    )
+    return m._replace(kf_Tcw=kf_Tcw, pt_xyz=new_xyz)
+
+
+def joint_bundle_adjust(
+    maps: Seq[MapState],
+    cams: Seq[PinholeCamera],
+    mesh: Mesh | None = None,
+    iters: int = 10,
+    max_cams: int | None = None,
+    scale_factor: float = 1.2,
+):
+    """Joint distributed global BA over N sequence maps.
+
+    Returns (new_maps, info) where info carries the final joint cost and
+    the wall-clock of the device solve (for scaling-efficiency
+    measurement). Sequences whose maps are still too small pass through
+    untouched.
+    """
+    if mesh is None:
+        mesh = make_ba_mesh()
+    parts = [
+        compact_problem(m, scale_factor=scale_factor, max_cams=max_cams)
+        for m in maps
+    ]
+    live = [i for i, p in enumerate(parts) if p is not None]
+    if not live:
+        return list(maps), {"cost": float("nan"), "solve_s": 0.0, "n_cams": 0}
+
+    merged = merge_problems(
+        [parts[i] for i in live], [cams[i] for i in live]
+    )
+    sprob = shard_problem(merged.prob, mesh.size)
+
+    import jax
+
+    if jax.process_count() > 1:
+        # multi-process: every host holds an identical replicated copy
+        # of the merged problem; lift it into global arrays so the
+        # point-sharded shard_map spans all hosts' devices
+        from orb_slam2_test_tpu.parallel.multihost import (
+            make_global_problem,
+        )
+
+        sprob = make_global_problem(sprob, mesh)
+
+    t0 = time.perf_counter()
+    cam_Tcw, pt_xyz, cost = dist_bundle_adjust(
+        sprob, merged.cam, mesh, iters=iters
+    )
+    cam_Tcw = np.asarray(cam_Tcw)
+    # pt_xyz comes back point-sharded; replicate before the host gather
+    # so this also works multi-process (a sharded array is not fully
+    # addressable from any single host)
+    pt_xyz = np.asarray(
+        jax.jit(
+            lambda x: x,
+            out_shardings=jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()
+            ),
+        )(pt_xyz)
+    )
+    solve_s = time.perf_counter() - t0
+
+    out = list(maps)
+    for j, i in enumerate(live):
+        p = parts[i]
+        c0 = merged.cam_offsets[j]
+        q0 = merged.pt_offsets[j]
+        nc = p.prob.cam_Tcw.shape[0]
+        nq = p.prob.pt_xyz.shape[0]
+        out[i] = scatter_back(
+            maps[i], p, cam_Tcw[c0 : c0 + nc], pt_xyz[q0 : q0 + nq]
+        )
+    info = {
+        "cost": float(cost),
+        "solve_s": solve_s,
+        "n_cams": int(merged.prob.cam_Tcw.shape[0]),
+        "n_pts": int(merged.prob.pt_xyz.shape[0]),
+        "n_obs": int(merged.prob.obs_cam.shape[0]),
+        "n_devices": mesh.size,
+    }
+    return out, info
+
+
+def measure_scaling(
+    maps: Seq[MapState],
+    cams: Seq[PinholeCamera],
+    iters: int = 8,
+    max_cams: int | None = None,
+    device_counts: Seq[int] | None = None,
+    repeats: int = 3,
+) -> dict:
+    """Strong-scaling measurement of the joint distributed BA: solve the
+    SAME merged problem on meshes of increasing size and report
+    efficiency = t(1) / (n * t(n)) (the BASELINE's >=70%-at-2+-hosts
+    criterion). Uses min-of-repeats so compilation (cached after the
+    first call) doesn't pollute the numbers."""
+    import jax
+
+    n_avail = len(jax.devices())
+    if device_counts is None:
+        device_counts = [n for n in (1, 2, 4, 8, 16) if n <= n_avail]
+
+    parts = [
+        p
+        for m in maps
+        if (p := compact_problem(m, max_cams=max_cams)) is not None
+    ]
+    if not parts:
+        return {"error": "maps too small to measure"}
+    merged = merge_problems(parts, list(cams)[: len(parts)])
+
+    results = {}
+    for n in device_counts:
+        mesh = make_ba_mesh(n)
+        sprob = shard_problem(merged.prob, n)
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = dist_bundle_adjust(sprob, merged.cam, mesh, iters=iters)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        results[n] = min(times)
+    t1 = results[min(results)]
+    return {
+        "metric": "dist_ba_strong_scaling",
+        "n_cams": int(merged.prob.cam_Tcw.shape[0]),
+        "n_pts": int(merged.prob.pt_xyz.shape[0]),
+        "n_obs": int(merged.prob.obs_cam.shape[0]),
+        "iters": iters,
+        "solve_s": {str(n): round(t, 4) for n, t in results.items()},
+        "efficiency": {
+            str(n): round(t1 / (n * results[n]), 3) for n in results
+        },
+    }

@@ -71,6 +71,10 @@ class System:
         self.settings = (
             load_settings(settings) if isinstance(settings, str) else settings
         )
+        # reference NeedNewKeyFrame: thRefRatio = 0.75 for stereo/RGB-D,
+        # 0.9 for monocular
+        if sensor != MONOCULAR and "kf_ref_ratio" not in config_overrides:
+            config_overrides["kf_ref_ratio"] = 0.75
         cfg = self.settings.tracker_config(**config_overrides)
         self.tracker = Tracker(self.settings.camera, cfg)
 

@@ -26,6 +26,16 @@ CFG = dict(
     min_depth_init_points=100,
     max_frames_between_kf=3,
     min_local_inliers=20,
+    # synthetic scenes are meters deep with a tiny 0.08 m baseline; the
+    # default ThDepth=35 would mark everything far and cap unmatched
+    # insertion at 100 points per keyframe (see test_stereo_rgbd_e2e)
+    th_depth=150.0,
+    # the reference's 100/70 close-deficit constants assume 1000-2000
+    # features; at 400 features they would insert a keyframe nearly
+    # every frame, drowning the covisibility structure loop detection
+    # keys on — scale them proportionally
+    kf_close_tracked_max=40,
+    kf_close_untracked_min=28,
 )
 
 
@@ -86,12 +96,19 @@ def test_relocalization_after_blackout(rng):
     depths = [_rgbd_depth(cam, T, landmarks) for T in poses]
 
     voc = _vocab_from_frames(cam, images, rng)
-    tracker = Tracker(cam, TrackerConfig(**CFG))
+    # keyframe every frame: the map must exceed 5 keyframes before the
+    # blackout, or losing tracking triggers the reference's
+    # small-map auto-reset (Tracking::Track KeyFramesInMap()<=5 ->
+    # Reset) instead of entering LOST/relocalization
+    tracker = Tracker(
+        cam, TrackerConfig(**{**CFG, "max_frames_between_kf": 1})
+    )
     tracker.enable_place_recognition(voc, fix_scale=True)
 
     for i in range(6):
         tracker.process_image_rgbd(images[i], depths[i], i / 30.0)
     assert tracker.state == "OK"
+    assert tracker.stats["n_kf"] > 5
 
     # blackout: two flat frames -> lost
     black = np.full_like(images[0], 16.0)

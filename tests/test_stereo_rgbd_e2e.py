@@ -82,6 +82,11 @@ CFG = dict(
     min_depth_init_points=100,
     max_frames_between_kf=4,
     min_local_inliers=20,
+    # the synthetic scene sits 4-10 m deep with an 0.08 m baseline; the
+    # default ThDepth=35 (close < 2.8 m) would classify everything as
+    # far and cap unmatched insertion at the 100 nearest (reference
+    # CreateNewKeyFrame behavior) -- keep the whole scene "close" here
+    th_depth=150.0,
 )
 
 
