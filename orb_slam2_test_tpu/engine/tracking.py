@@ -246,6 +246,98 @@ def _close_counts_body(depth, valid, feat_pt, close_depth):
     )
 
 
+def _add_depth_points_body(cam, cfg, m, frame, kf_i, close_depth,
+                           close_gate):
+    """Stereo/RGB-D keyframe: create points for unmatched close features
+    (Tracking::CreateNewKeyFrame depth-sorted insertion). Device-side:
+    the reference's 'stop past mThDepth once >=100 points' rule becomes
+    a where() between the close set and the 100-nearest widening."""
+    from orb_slam2_test_tpu.geometry.camera import backproject
+    from orb_slam2_test_tpu.geometry.se3 import se3_apply
+    from orb_slam2_test_tpu.geometry.se3 import se3_inverse as inv
+
+    cap = cfg.map_capacity
+    Tcw = m.kf_Tcw[kf_i]
+    Twc = inv(Tcw)
+    xyz_c = backproject(cam, frame.uv, frame.depth)
+    xyz_w = se3_apply(Twc, xyz_c)
+    free = (m.kf_pt_idx[kf_i] < 0) & frame.valid & (frame.depth > 0)
+    if close_gate:
+        close = free & (frame.depth < close_depth)
+        n_close = jnp.sum(close.astype(jnp.int32))
+        d = jnp.where(free, frame.depth, jnp.inf)
+        nearest = jnp.argsort(d)[:100]
+        widen = jnp.zeros_like(free).at[nearest].set(True)
+        free = jnp.where(n_close >= 100, close, free & (close | widen))
+    Ow = Twc[:3, 3]
+    view = xyz_w - Ow
+    dist = jnp.maximum(jnp.linalg.norm(view, axis=-1), 1e-9)
+    normal = view / dist[:, None]
+    scales = jnp.asarray(cap.level_scales)
+    max_dist = dist * scales[frame.level]
+    min_dist = max_dist / scales[-1]
+    m, slots = add_points(
+        m, xyz_w, frame.desc, normal, min_dist, max_dist, kf_i, free
+    )
+    created = slots >= 0
+    row = jnp.where(created, slots, m.kf_pt_idx[kf_i])
+    return m._replace(kf_pt_idx=m.kf_pt_idx.at[kf_i].set(row))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "cfg", "use_depth", "close_gate")
+)
+def _grow_map_device(cam, cfg, m, frame, Tcw, feat_pt, timestamp,
+                     frame_id, close_depth, use_depth, close_gate):
+    """The whole keyframe-insertion pipeline as ONE device program:
+    add keyframe + spanning-tree parent + depth-point insertion +
+    triangulation with covisible neighbors + duplicate fusion + landmark
+    maintenance + point culling + local BA + keyframe culling
+    (reference: Tracking::CreateNewKeyFrame then the LocalMapping::Run
+    iteration for that keyframe). Fusing it keeps the dispatch/sync
+    count per keyframe at one instead of ~15."""
+    from orb_slam2_test_tpu.slam_map.maintenance import (
+        update_distinctive_descriptors,
+        update_normals_and_depth,
+    )
+
+    cap = cfg.map_capacity
+    m, kf = add_keyframe(
+        m, Tcw, timestamp, frame_id,
+        frame.uv, frame.level, frame.angle, frame.ur, frame.depth,
+        frame.desc, frame.valid, feat_pt,
+    )
+    m = assign_parent(m, kf)
+    if use_depth:
+        m = _add_depth_points_body(
+            cam, cfg, m, frame, kf, close_depth, close_gate
+        )
+
+    ids, _w = best_covisible(m, kf, cfg.n_triangulate_neighbors)
+    for k in range(cfg.n_triangulate_neighbors):  # static unroll;
+        # triangulate/fuse no-op internally when ids[k] < 0
+        m, _ = triangulate_with_neighbor(m, cam, kf, ids[k], cap)
+    if cfg.enable_fuse:
+        for k in range(cfg.n_triangulate_neighbors):
+            m, _ = fuse_with_neighbor(m, cam, kf, ids[k])
+            m, _ = fuse_with_neighbor(m, cam, ids[k], kf)
+
+    window = jnp.concatenate([kf[None], ids])
+    m = update_distinctive_descriptors(
+        m, window, window=cfg.n_triangulate_neighbors + 1
+    )
+    m = update_normals_and_depth(
+        m, scale_factor=cfg.scale_factor, n_levels=cfg.n_levels
+    )
+    m = cull_points(m, kf)
+    m = run_local_ba(m, cam, kf, cap, cfg.ba_caps)
+    if cfg.enable_kf_culling:
+        m, culled = cull_keyframes(m, kf, n_levels=cfg.n_levels)
+    else:
+        culled = jnp.asarray(-1, jnp.int32)
+    return m, kf, culled, m.kf_pt_idx[kf]
+
+
 class Tracker:
     """Host-side tracking driver. Owns the MapState and per-frame state."""
 
@@ -808,68 +900,31 @@ class Tracker:
         if not need:
             return
 
-        m, kf = add_keyframe(
-            self.map, jnp.asarray(self.last_Tcw), frame.timestamp,
-            self.frame_id,
-            frame.uv, frame.level, frame.angle, frame.ur, frame.depth,
-            frame.desc, frame.valid, self.cur_feat_pt,
+        # the whole insertion pipeline (add KF + parent + depth points +
+        # triangulation + fusion + maintenance + local BA + culling) is
+        # ONE device program with one host sync
+        m, kf, culled, kf_row = _grow_map_device(
+            self.cam, self.cfg, self.map, frame,
+            jnp.asarray(self.last_Tcw), self.cur_feat_pt,
+            jnp.asarray(frame.timestamp, jnp.float32),
+            jnp.asarray(self.frame_id, jnp.int32),
+            jnp.asarray(
+                self.close_depth if self.close_depth is not None else 0.0,
+                jnp.float32,
+            ),
+            use_depth,
+            self.close_depth is not None,
         )
-        kf_i = jnp.asarray(int(kf))
-        # spanning tree: parent = most covisible at first connection
-        # (reference LocalMapping::ProcessNewKeyFrame -> UpdateConnections)
-        m = assign_parent(m, kf_i)
-
-        if use_depth:
-            m = self._add_depth_points(m, frame, kf_i)
-
-        # triangulate with best covisible neighbors (CreateNewMapPoints)
-        ids, w = best_covisible(m, kf_i, self.cfg.n_triangulate_neighbors)
-        ids_np = np.asarray(ids)
-        for nbr in ids_np:
-            if nbr < 0:
-                break
-            m, _ = triangulate_with_neighbor(
-                m, self.cam, kf_i, jnp.asarray(int(nbr)), self.cap
-            )
-
-        # fuse duplicate landmarks with covisible neighbors, both
-        # directions (LocalMapping::SearchInNeighbors)
-        if self.cfg.enable_fuse:
-            for nbr in ids_np:
-                if nbr < 0:
-                    break
-                nbr_j = jnp.asarray(int(nbr))
-                m, _ = fuse_with_neighbor(m, self.cam, kf_i, nbr_j)
-                m, _ = fuse_with_neighbor(m, self.cam, nbr_j, kf_i)
-
-        # refresh landmark attributes touched by triangulation/fusion
-        # (MapPoint::ComputeDistinctiveDescriptors + UpdateNormalAndDepth,
-        # which the reference calls per new/fused point)
-        from orb_slam2_test_tpu.slam_map.maintenance import (
-            update_distinctive_descriptors,
-            update_normals_and_depth,
-        )
-
-        window = jnp.concatenate([kf_i[None], ids])
-        m = update_distinctive_descriptors(
-            m, window, window=self.cfg.n_triangulate_neighbors + 1
-        )
-        m = update_normals_and_depth(
-            m, scale_factor=self.cfg.scale_factor, n_levels=self.cfg.n_levels
-        )
-
-        m = cull_points(m, kf_i)
-        m = run_local_ba(m, self.cam, kf_i, self.cap, self.cfg.ba_caps)
-        if self.cfg.enable_kf_culling:
-            m, culled = cull_keyframes(m, kf_i, n_levels=self.cfg.n_levels)
-            culled = int(culled)
-            if culled >= 0:
-                if self.ref_kf == culled:
-                    self.ref_kf = int(kf)
-                if self.loop_closer is not None:
-                    self.loop_closer.db.erase(culled)
+        kf, culled = jax.device_get((kf, culled))
+        kf = int(kf)
+        culled = int(culled)
+        if self.cfg.enable_kf_culling and culled >= 0:
+            if self.ref_kf == culled:
+                self.ref_kf = kf
+            if self.loop_closer is not None:
+                self.loop_closer.db.erase(culled)
         if self.loop_closer is not None:
-            m, closed = self.loop_closer.on_new_keyframe(m, int(kf))
+            m, closed = self.loop_closer.on_new_keyframe(m, kf)
             if closed:
                 self.stats["loops"] += 1
                 # poses moved: refresh the tracked pose from the new KF
@@ -885,40 +940,3 @@ class Tracker:
         # ref-KF pose cache is stale: new ref + BA/loop moved poses
         self._ref_Tcw_host = None
 
-    def _add_depth_points(self, m: MapState, frame: FrameData, kf_i):
-        """Stereo/RGB-D keyframe: create points for close unmatched
-        features (Tracking::CreateNewKeyFrame depth-sorted insertion)."""
-        from orb_slam2_test_tpu.geometry.camera import backproject
-        from orb_slam2_test_tpu.geometry.se3 import se3_apply, se3_inverse as inv
-
-        Tcw = m.kf_Tcw[kf_i]
-        Twc = inv(Tcw)
-        xyz_c = backproject(self.cam, frame.uv, frame.depth)
-        xyz_w = se3_apply(Twc, xyz_c)
-        free = (m.kf_pt_idx[kf_i] < 0) & frame.valid & (frame.depth > 0)
-        # only CLOSE points are trustworthy enough to insert unmatched
-        # (reference CreateNewKeyFrame: depth-sorted insertion stops past
-        # mThDepth once >=100 points are in); far stereo depth is noisy
-        if self.close_depth is not None:
-            close = free & (frame.depth < self.close_depth)
-            if int(jnp.sum(close)) >= 100:
-                free = close
-            else:
-                # fewer than 100 close points: take the 100 nearest
-                d = jnp.where(free, frame.depth, jnp.inf)
-                nearest = jnp.argsort(d)[:100]
-                widen = jnp.zeros_like(free).at[nearest].set(True)
-                free = free & (close | widen)
-        Ow = Twc[:3, 3]
-        view = xyz_w - Ow
-        dist = jnp.maximum(jnp.linalg.norm(view, axis=-1), 1e-9)
-        normal = view / dist[:, None]
-        scales = jnp.asarray(self.cap.level_scales)
-        max_dist = dist * scales[frame.level]
-        min_dist = max_dist / scales[-1]
-        m, slots = add_points(
-            m, xyz_w, frame.desc, normal, min_dist, max_dist, kf_i, free
-        )
-        created = slots >= 0
-        row = jnp.where(created, slots, m.kf_pt_idx[kf_i])
-        return m._replace(kf_pt_idx=m.kf_pt_idx.at[kf_i].set(row))
