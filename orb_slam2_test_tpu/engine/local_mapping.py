@@ -320,6 +320,8 @@ def fuse_with_neighbor(
         m.pt_normal, m.pt_min_dist, m.pt_max_dist,
         jnp.arange(P, dtype=jnp.int32), frame_a,
         radius=3.0, max_hamming=TH_LOW, check_view_cos=True,
+        # candidates are keyframe B's points: at most one per feature
+        max_candidates=int(m.kf_pt_idx.shape[1]),
     )
     q = pm.feat_pt  # [N] matched point id or -1
     row_a = m.kf_pt_idx[kf_a]

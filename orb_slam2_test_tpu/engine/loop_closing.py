@@ -271,6 +271,7 @@ class LoopCloser:
             m.pt_normal, m.pt_min_dist, m.pt_max_dist,
             jnp.arange(P, dtype=jnp.int32),
             frame, radius=10.0, check_view_cos=False,
+            max_candidates=min(P, 8192),
         )
         total = jnp.sum(
             ((pmw.feat_pt >= 0) | (inl & pair_ok2)).astype(jnp.int32)
@@ -344,6 +345,7 @@ class LoopCloser:
                 m.pt_normal, m.pt_min_dist, m.pt_max_dist,
                 jnp.arange(P, dtype=jnp.int32),
                 frame_g, radius=4.0, check_view_cos=False,
+                max_candidates=min(P, 8192),
             )
             # replace: features that matched a loop point adopt it
             row = m.kf_pt_idx[g]

@@ -70,7 +70,9 @@ def _resolve_conflicts(
 @f32_matmuls
 @functools.partial(
     jax.jit,
-    static_argnames=("cam", "n_levels", "ratio", "check_view_cos"),
+    static_argnames=(
+        "cam", "n_levels", "ratio", "check_view_cos", "max_candidates",
+    ),
 )
 def search_by_projection(
     cam: PinholeCamera,
@@ -89,6 +91,7 @@ def search_by_projection(
     scale_factor: float = 1.2,
     n_levels: int = 8,
     check_view_cos: bool = True,
+    max_candidates: int | None = None,
 ) -> ProjectionMatch:
     """Project map points into the frame and match to nearby features.
 
@@ -96,6 +99,13 @@ def search_by_projection(
     caller passes last-frame points, radius th*scale] and
     SearchByProjection(Frame&, vector<MapPoint*>) [local map: frustum +
     view-angle + scale gates, ratio 0.8] — reference ORBmatcher.cc.
+
+    max_candidates: when set and smaller than P, the per-point gates
+    (validity, frustum, distance range, view angle) run over all P
+    points, then only the first max_candidates surviving points enter
+    the dense [C, N] descriptor-distance matrix — the map can hold 100k+
+    points while the matcher's matmul stays bounded (the reference's
+    equivalent bound is the covisibility-local point set).
     """
     N = frame.uv.shape[0]
     R = Tcw[:3, :3]
@@ -138,7 +148,20 @@ def search_by_projection(
 
     usable = pts_valid & in_img & dist_ok & view_ok
 
-    # geometric masks on the [P, N] matrix
+    P = pts_xyz.shape[0]
+    sel = None
+    if max_candidates is not None and max_candidates < P:
+        # compact the surviving candidates so the dense matrix is [C, N]
+        score, sel = jax.lax.top_k(usable.astype(jnp.int32), max_candidates)
+        sel_ok = score > 0
+        u, v = u[sel], v[sel]
+        usable = sel_ok
+        level_scale = level_scale[sel]
+        pred_level = pred_level[sel]
+        pts_desc = pts_desc[sel]
+        pt_ids = pt_ids[sel]
+
+    # geometric masks on the [C, N] matrix
     du = u[:, None] - frame.uv[None, :, 0]
     dv = v[:, None] - frame.uv[None, :, 1]
     r_eff = radius * level_scale
@@ -149,7 +172,7 @@ def search_by_projection(
     mask = win & lvl_ok & usable[:, None] & frame.valid[None, :]
 
     d = masked_hamming_matrix(
-        pts_desc, frame.desc, jnp.ones_like(pts_valid), frame.valid
+        pts_desc, frame.desc, jnp.ones_like(usable), frame.valid
     )
     d = jnp.where(mask, d, 512)
 
@@ -162,6 +185,11 @@ def search_by_projection(
     best_feat = jnp.where(ok, best_idx, -1)
 
     feat_pt, pt_feat = _resolve_conflicts(best_feat, best, N, pt_ids)
+    if sel is not None:
+        # scatter the per-candidate feature assignment back to [P]
+        pt_feat = jnp.full((P,), -1, jnp.int32).at[
+            jnp.where(usable, sel, P)
+        ].set(pt_feat, mode="drop")
     return ProjectionMatch(
         feat_pt=feat_pt,
         pt_feat=pt_feat,

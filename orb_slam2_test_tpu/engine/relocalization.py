@@ -72,6 +72,7 @@ def relocalize(
                 m.pt_normal, m.pt_min_dist, m.pt_max_dist,
                 jnp.arange(m.pt_valid.shape[0], dtype=jnp.int32),
                 frame, radius=10.0, check_view_cos=False,
+                max_candidates=min(int(m.pt_valid.shape[0]), 8192),
             )
             feat_pt = jnp.where(feat_pt >= 0, feat_pt, pm2.feat_pt)
             sel = feat_pt >= 0

@@ -151,6 +151,8 @@ def _motion_body(cam, cfg, m, frame, pred, last_feat_pt):
         scale_factor=cfg.scale_factor,
         n_levels=cfg.n_levels,
         check_view_cos=False,
+        # last frame observed at most n_features points
+        max_candidates=cfg.n_features,
     )
     res = _pose_opt_on(cam, cfg, m, frame, pm.feat_pt, pred)
     feat_inl = jnp.where(res.inliers, pm.feat_pt, -1)
@@ -186,6 +188,8 @@ def _local_map_body(cam, cfg, m, frame, Tcw, cur_feat_pt, ref_kf):
         ratio=0.8,
         scale_factor=cfg.scale_factor,
         n_levels=cfg.n_levels,
+        # bound the dense match to the local-map point budget
+        max_candidates=cfg.local_pt_cap,
     )
     feat_pt = jnp.where(cur_feat_pt >= 0, cur_feat_pt, pm.feat_pt)
     res = _pose_opt_on(cam, cfg, m, frame, feat_pt, Tcw)
