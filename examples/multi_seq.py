@@ -117,13 +117,20 @@ def main():
         nonlocal since_ba
         maps = [s.tracker.map for s in systems]
         cams = [s.tracker.cam for s in systems]
-        sf = systems[0].tracker.cap.scale_factor
+        sfs = [s.tracker.cap.scale_factor for s in systems]
         new_maps, info = joint_bundle_adjust(
             maps, cams, mesh, iters=args.joint_ba_iters,
-            max_cams=args.max_cams, scale_factor=sf,
+            max_cams=args.max_cams, scale_factor=sfs,
         )
         for s, m in zip(systems, new_maps):
+            if m is s.tracker.map:
+                continue  # map too small, untouched
             s.tracker.map = m
+            # BA moved keyframe/point poses under the tracker: the
+            # constant-velocity prior and cached ref-KF pose are stale
+            # (same invariant as the in-tracker loop-closure path)
+            s.tracker.velocity = None
+            s.tracker._ref_Tcw_host = None
         ba_infos.append(info)
         since_ba = 0
         if info["n_cams"]:
@@ -175,7 +182,8 @@ def main():
         maps = [s.tracker.map for s in systems]
         cams = [s.tracker.cam for s in systems]
         report = measure_scaling(
-            maps, cams, iters=args.joint_ba_iters, max_cams=args.max_cams
+            maps, cams, iters=args.joint_ba_iters, max_cams=args.max_cams,
+            scale_factor=[s.tracker.cap.scale_factor for s in systems],
         )
         print(json.dumps(report))
     return 0

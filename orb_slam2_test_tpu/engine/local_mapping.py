@@ -302,7 +302,11 @@ def fuse_with_neighbor(
     observations survives; all feature links to the loser are rewritten
     to the winner map-wide). Returns (map, n_fused_or_adopted)."""
     P = m.pt_valid.shape[0]
-    b_ok = kf_b >= 0
+    # gate BOTH endpoints: a traced -1 index wraps to the LAST slot, so
+    # an unguarded kf_a would fuse against an unrelated keyframe and
+    # Replace would corrupt links map-wide
+    b_ok = (kf_b >= 0) & (kf_a >= 0)
+    kf_a = jnp.clip(kf_a, 0)
     kf_b_safe = jnp.clip(kf_b, 0)
 
     row_b = m.kf_pt_idx[kf_b_safe]

@@ -208,17 +208,6 @@ _local_map_step_device = functools.partial(
 )(_local_map_body)
 
 
-@jax.jit
-def _close_counts_device(depth, valid, feat_pt, close_depth):
-    """NeedNewKeyFrame close-point statistics (one fused reduction)."""
-    is_close = valid & (depth > 0) & (depth < close_depth)
-    tracked = feat_pt >= 0
-    return (
-        jnp.sum((is_close & tracked).astype(jnp.int32)),
-        jnp.sum((is_close & ~tracked).astype(jnp.int32)),
-    )
-
-
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
 def _track_frame_device(cam, cfg, m, frame, pred, last_feat_pt, ref_kf,
                         close_depth):
@@ -242,12 +231,16 @@ def _track_frame_device(cam, cfg, m, frame, pred, last_feat_pt, ref_kf,
 
 
 def _close_counts_body(depth, valid, feat_pt, close_depth):
+    """NeedNewKeyFrame close-point statistics (one fused reduction)."""
     is_close = valid & (depth > 0) & (depth < close_depth)
     tracked = feat_pt >= 0
     return (
         jnp.sum((is_close & tracked).astype(jnp.int32)),
         jnp.sum((is_close & ~tracked).astype(jnp.int32)),
     )
+
+
+_close_counts_device = jax.jit(_close_counts_body)
 
 
 def _add_depth_points_body(cam, cfg, m, frame, kf_i, close_depth,
@@ -339,7 +332,7 @@ def _grow_map_device(cam, cfg, m, frame, Tcw, feat_pt, timestamp,
         m, culled = cull_keyframes(m, kf, n_levels=cfg.n_levels)
     else:
         culled = jnp.asarray(-1, jnp.int32)
-    return m, kf, culled, m.kf_pt_idx[kf]
+    return m, kf, culled
 
 
 class Tracker:
@@ -907,7 +900,7 @@ class Tracker:
         # the whole insertion pipeline (add KF + parent + depth points +
         # triangulation + fusion + maintenance + local BA + culling) is
         # ONE device program with one host sync
-        m, kf, culled, kf_row = _grow_map_device(
+        m, kf, culled = _grow_map_device(
             self.cam, self.cfg, self.map, frame,
             jnp.asarray(self.last_Tcw), self.cur_feat_pt,
             jnp.asarray(frame.timestamp, jnp.float32),

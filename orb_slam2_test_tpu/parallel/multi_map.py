@@ -68,6 +68,10 @@ def compact_problem(
     pt_ids = np.where(pt_valid)[0]
     if len(kf_ids) < 2 or len(pt_ids) < 8:
         return None
+    # order keyframes by AGE, not slot: slots are recycled after culling,
+    # so slot order would freeze the wrong keyframes under max_cams and
+    # put the gauge on a possibly-recycled slot
+    kf_ids = kf_ids[np.argsort(np.asarray(m.kf_frame_id)[kf_ids])]
 
     K_cap = kf_valid.shape[0]
     P_cap = pt_valid.shape[0]
@@ -199,9 +203,12 @@ def joint_bundle_adjust(
     mesh: Mesh | None = None,
     iters: int = 10,
     max_cams: int | None = None,
-    scale_factor: float = 1.2,
+    scale_factor: float | Seq[float] = 1.2,
 ):
     """Joint distributed global BA over N sequence maps.
+
+    scale_factor: the ORB pyramid scale per sequence (scalar = shared);
+    sets each observation's information weight 1/sigma^2.
 
     Returns (new_maps, info) where info carries the final joint cost and
     the wall-clock of the device solve (for scaling-efficiency
@@ -210,9 +217,14 @@ def joint_bundle_adjust(
     """
     if mesh is None:
         mesh = make_ba_mesh()
+    sfs = (
+        list(scale_factor)
+        if isinstance(scale_factor, (list, tuple))
+        else [scale_factor] * len(maps)
+    )
     parts = [
-        compact_problem(m, scale_factor=scale_factor, max_cams=max_cams)
-        for m in maps
+        compact_problem(m, scale_factor=sf, max_cams=max_cams)
+        for m, sf in zip(maps, sfs)
     ]
     live = [i for i, p in enumerate(parts) if p is not None]
     if not live:
@@ -281,6 +293,7 @@ def measure_scaling(
     max_cams: int | None = None,
     device_counts: Seq[int] | None = None,
     repeats: int = 3,
+    scale_factor: float | Seq[float] = 1.2,
 ) -> dict:
     """Strong-scaling measurement of the joint distributed BA: solve the
     SAME merged problem on meshes of increasing size and report
@@ -293,14 +306,21 @@ def measure_scaling(
     if device_counts is None:
         device_counts = [n for n in (1, 2, 4, 8, 16) if n <= n_avail]
 
+    sfs = (
+        list(scale_factor)
+        if isinstance(scale_factor, (list, tuple))
+        else [scale_factor] * len(maps)
+    )
     parts = [
-        p
-        for m in maps
-        if (p := compact_problem(m, max_cams=max_cams)) is not None
+        compact_problem(m, scale_factor=sf, max_cams=max_cams)
+        for m, sf in zip(maps, sfs)
     ]
-    if not parts:
+    live = [i for i, p in enumerate(parts) if p is not None]
+    if not live:
         return {"error": "maps too small to measure"}
-    merged = merge_problems(parts, list(cams)[: len(parts)])
+    merged = merge_problems(
+        [parts[i] for i in live], [cams[i] for i in live]
+    )
 
     results = {}
     for n in device_counts:

@@ -38,7 +38,7 @@ def initialize_from_env(
     coordinator: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
-    local_device_count: int | None = None,
+    local_device_ids: list[int] | None = None,
 ) -> bool:
     """Bring up jax.distributed if this run spans multiple processes.
 
@@ -62,8 +62,8 @@ def initialize_from_env(
         else os.environ.get("SLAM_PROC_ID", "0")
     )
     kwargs = {}
-    if local_device_count is not None:
-        kwargs["num_local_devices"] = local_device_count
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = local_device_ids
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,
