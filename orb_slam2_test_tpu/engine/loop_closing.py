@@ -44,9 +44,22 @@ from orb_slam2_test_tpu.slam_map.covisibility import (
 )
 from orb_slam2_test_tpu.slam_map.keyframe_db import KeyFrameDatabase
 from orb_slam2_test_tpu.slam_map.mapstate import MapState
-from orb_slam2_test_tpu.solvers.ba_core import BAProblem, bundle_adjust
+from orb_slam2_test_tpu.solvers.ba_core import (
+    BAProblem,
+    _robust_cost,
+    bundle_adjust,
+)
 from orb_slam2_test_tpu.solvers.pose_graph import optimize_essential_graph
 from orb_slam2_test_tpu.solvers.sim3_solver import optimize_sim3, sim3_ransac
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cam",))
+def _gba_cost_device(prob, cam):
+    """Pre-BA robust cost (for the convergence record in _global_ba)."""
+    return _robust_cost(prob, cam)
+
 
 # reference constants
 MIN_KF_GAP = 10  # KFs since last loop before detecting again
@@ -56,6 +69,27 @@ MIN_SIM3_INLIERS = 20
 MIN_TOTAL_MATCHES = 40  # reference ComputeSim3 final acceptance gate
 COVIS_EDGE_MIN = 100  # strong-covisibility essential-graph edges
 EDGE_CAP = 4096
+
+
+def _pad_edges(ei, ej, meas):
+    """Pad the essential-graph edge arrays to the next power-of-two
+    bucket >= EDGE_CAP. Round 1 silently TRUNCATED past EDGE_CAP —
+    dropped edges = a wrong pose graph at KITTI scale (strong
+    covisibility + tree edges exceed 4096). Power-of-two bucketing
+    keeps jit recompiles of optimize_essential_graph rare (loop
+    closures are rare events). Returns (ei, ej, meas, evalid, cap)."""
+    E = int(ei.shape[0])
+    cap = EDGE_CAP
+    while cap < E:
+        cap *= 2
+    pad = cap - E
+    ei = jnp.concatenate([ei, jnp.zeros(pad, jnp.int32)])
+    ej = jnp.concatenate([ej, jnp.zeros(pad, jnp.int32)])
+    meas = jnp.concatenate(
+        [meas, jnp.tile(jnp.eye(4)[None], (pad, 1, 1))]
+    )
+    evalid = jnp.arange(cap) < E
+    return ei, ej, meas, evalid, cap
 
 
 def _kf_as_frame(m: MapState, kf: int) -> FrameData:
@@ -90,6 +124,8 @@ class LoopCloser:
         self.last_loop_kf = -1
         self.min_kf_gap = min_kf_gap
         self.n_loops_closed = 0
+        # (cost_before, cost_after) device scalars of the last global BA
+        self.last_gba_cost = None
 
     # ------------------------------------------------------------------
     def kf_words(self, m: MapState, kf: int) -> np.ndarray:
@@ -142,27 +178,30 @@ class LoopCloser:
                 qv_scores.append(l1_score(qv, self.db.bow[c]))
         min_score = min(qv_scores) if qv_scores else 0.3
 
-        # covisibility groups of candidates for accumulation
-        valid_kfs = [k for k in self.db.words]
-        covis_groups = {}
-        if valid_kfs:
-            W = np.asarray(
-                covisibility_weights(m, jnp.asarray(valid_kfs, jnp.int32))
-            )
-            for row, k in enumerate(valid_kfs):
-                covis_groups[k] = set(
-                    np.nonzero(W[row] >= 15)[0].tolist()
-                ) | {k}
+        # stage 1: inverted-index prefilter + score gate — O(shared
+        # words); no covisibility work yet
+        scored = self.db.query_loop_candidates(
+            qv, words, set(connected) | {kf_id}, min_score
+        )
+        if not scored:
+            # reference DetectLoop: no candidates -> clear the
+            # consistency chains (otherwise stale groups linger and a
+            # later unrelated candidate chains against them)
+            self.consistent_groups = []
+            return None
 
-        self.db.bow[kf_id] = qv  # temporary for scoring
-        self.db.words[kf_id] = words
-        try:
-            cands = self.db.detect_loop_candidates(
-                kf_id, min_score, connected, covis_groups
-            )
-        finally:
-            del self.db.bow[kf_id]
-            del self.db.words[kf_id]
+        # stage 2: covisibility groups for the FEW scored candidates
+        # only (ONE [C, K] matmul; round 1 built groups for every
+        # database keyframe — quadratic host time at 1000+ keyframes)
+        cand_ids = [kf for kf, _ in scored]
+        W = np.asarray(
+            covisibility_weights(m, jnp.asarray(cand_ids, jnp.int32))
+        )
+        covis_groups = {
+            k: set(np.nonzero(W[row] >= 15)[0].tolist()) | {k}
+            for row, k in enumerate(cand_ids)
+        }
+        cands = self.db.accumulate_groups(scored, covis_groups)
 
         # covisibility-consistency chaining (reference: candidate's group
         # must intersect a group seen in >= 3 consecutive detections)
@@ -413,22 +452,12 @@ class LoopCloser:
         ej = jnp.concatenate([ej, jnp.asarray([kf_id], jnp.int32)])
         meas = jnp.concatenate([meas, loop_meas])
 
-        E = ei.shape[0]
-        pad = EDGE_CAP - E
-        if pad < 0:
-            ei, ej, meas = ei[:EDGE_CAP], ej[:EDGE_CAP], meas[:EDGE_CAP]
-            pad = 0
-        ei = jnp.concatenate([ei, jnp.zeros(pad, jnp.int32)])
-        ej = jnp.concatenate([ej, jnp.zeros(pad, jnp.int32)])
-        meas = jnp.concatenate(
-            [meas, jnp.tile(jnp.eye(4)[None], (pad, 1, 1))]
-        )
-        evalid = jnp.arange(EDGE_CAP) < E
+        ei, ej, meas, evalid, cap = _pad_edges(ei, ej, meas)
 
         fixed = jnp.zeros(K, bool).at[cand].set(True)
         S_opt = optimize_essential_graph(
             S_nodes, m.kf_valid, fixed, ei, ej, meas, evalid,
-            jnp.ones(EDGE_CAP), fix_scale=self.fix_scale,
+            jnp.ones(cap), fix_scale=self.fix_scale,
         )
 
         # recover SE3 + correct every point through its reference KF
@@ -458,14 +487,16 @@ class LoopCloser:
         return m
 
     # ------------------------------------------------------------------
-    def _global_ba(self, m: MapState, iters: int = 8):
+    def _global_ba(self, m: MapState, iters: int = 12):
+        """Full-map BA after a loop closure (reference
+        RunGlobalBundleAdjustment -> Optimizer::BundleAdjustment, 10-20
+        LM iterations). Records the robust-cost reduction in
+        `self.last_gba_cost` as convergence evidence (device futures —
+        reading them does not force a sync here)."""
         K, N = m.kf_pt_idx.shape
         cam_ids = jnp.arange(K, dtype=jnp.int32)
         uvr = jnp.concatenate([m.kf_uv, m.kf_ur[..., None]], axis=-1)
         obs_ok = (m.kf_pt_idx >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
-        # sigma by level
-        from orb_slam2_test_tpu.slam_map.mapstate import MapCapacity
-
         level_sigma2 = 1.2 ** (
             2.0 * m.kf_level.astype(jnp.float32)
         )
@@ -483,9 +514,11 @@ class LoopCloser:
             obs_valid=obs_ok.reshape(-1),
         )
         res = bundle_adjust(
-            prob, self.cam, iters1=3, iters2=iters - 3, solver="cg",
-            cg_iters=30,
+            prob, self.cam, iters1=4, iters2=iters - 4, solver="cg",
+            cg_iters=40,
         )
+        cost_before = _gba_cost_device(prob, self.cam)
+        self.last_gba_cost = (cost_before, res.cost)
         return m._replace(
             kf_Tcw=jnp.where(
                 m.kf_valid[:, None, None], res.cam_Tcw, m.kf_Tcw

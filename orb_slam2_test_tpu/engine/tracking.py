@@ -67,6 +67,10 @@ class TrackerConfig:
     max_points: int = 32768
     local_pt_cap: int = 4096
     local_kf_cap: int = 16
+    # K2 expansion of the local keyframe set: keyframes sharing >= 15
+    # landmarks with the K1 set (reference UpdateLocalKeyFrames adds
+    # covisible neighbors / children / parents of K1, cap 80 total)
+    local_k2_cap: int = 64
     ba_fixed_cap: int = 8
     ba_pt_cap: int = 4096
     n_triangulate_neighbors: int = 4
@@ -159,25 +163,67 @@ def _motion_body(cam, cfg, m, frame, pred, last_feat_pt):
     return pm.n_matches, res.Tcw, res.n_inliers, feat_inl
 
 
-def _local_map_body(cam, cfg, m, frame, Tcw, cur_feat_pt, ref_kf):
-    """TrackLocalMap: covisibility-vote local keyframes, project their
-    points, match (ratio 0.8), optimize, update visibility statistics
-    (Tracking.cc:~800 UpdateLocalMap/SearchLocalPoints)."""
+def _local_keyframe_point_set(m, cur_feat_pt, k1_cap: int, k2_cap: int):
+    """Local keyframe sets K1 (vote) and K2 (shared-landmark neighbors)
+    and the union point mask (Tracking::UpdateLocalKeyFrames /
+    UpdateLocalPoints). Returns (vote_weights [k1_cap], vote_kfs
+    [k1_cap], point_mask [P])."""
     P = m.pt_valid.shape[0]
+    K = m.kf_valid.shape[0]
+    k1_cap = min(k1_cap, K)
+    k2_cap = min(k2_cap, K)
     cur_pts = jnp.where(cur_feat_pt >= 0, cur_feat_pt, P)
     ind = jnp.zeros((P,), jnp.float32).at[cur_pts].set(1.0, mode="drop")
     linked = (m.kf_pt_idx >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
     votes = jnp.sum(
         jnp.where(linked, ind[jnp.clip(m.kf_pt_idx, 0)], 0.0), axis=1
     )
-    vw, vkf = jax.lax.top_k(votes, cfg.local_kf_cap)
+    vw, vkf = jax.lax.top_k(votes, k1_cap)
     local_kf = jnp.where(vw > 0, vkf, -1)
 
     lsafe = jnp.clip(local_kf, 0)
     rows = jnp.where((local_kf >= 0)[:, None], m.kf_pt_idx[lsafe], -1)
-    pmask = jnp.zeros((P,), bool).at[
+    pmask1 = jnp.zeros((P,), bool).at[
         jnp.where(rows >= 0, rows, P)
     ].set(True, mode="drop") & m.pt_valid
+
+    # K2: keyframes observing >= 15 of the K1 point set (one [K, N]
+    # gather-sum — no K x P indicator matmul on the per-frame path)
+    k1_mask = jnp.zeros((K,), bool).at[
+        jnp.where(local_kf >= 0, lsafe, K)
+    ].set(True, mode="drop")
+    share = jnp.sum(
+        jnp.where(linked, pmask1[jnp.clip(m.kf_pt_idx, 0)], False).astype(
+            jnp.float32
+        ),
+        axis=1,
+    )
+    share = jnp.where(k1_mask, 0.0, share)
+    sw, skf = jax.lax.top_k(share, k2_cap)
+    k2 = jnp.where(sw >= 15.0, skf, -1)
+    rows2 = jnp.where((k2 >= 0)[:, None], m.kf_pt_idx[jnp.clip(k2, 0)], -1)
+    pmask = pmask1 | (
+        jnp.zeros((P,), bool).at[
+            jnp.where(rows2 >= 0, rows2, P)
+        ].set(True, mode="drop")
+        & m.pt_valid
+    )
+    return vw, vkf, pmask
+
+
+def _local_map_body(cam, cfg, m, frame, Tcw, cur_feat_pt, ref_kf):
+    """TrackLocalMap: K1 covisibility-vote local keyframes + K2
+    shared-landmark neighbors, project their points, match (ratio 0.8),
+    optimize, update visibility statistics (Tracking.cc:~800
+    UpdateLocalKeyFrames: K1 = keyframes sharing points with the frame,
+    K2 = covisible neighbors/children/parents of K1, cap 80 total;
+    here K2 = keyframes sharing >= 15 landmarks with the K1 point set —
+    the spanning-tree parent/children are covered because those edges
+    ARE maximal shared-landmark edges)."""
+    P = m.pt_valid.shape[0]
+    vw, vkf, pmask = _local_keyframe_point_set(
+        m, cur_feat_pt, cfg.local_kf_cap, cfg.local_k2_cap
+    )
 
     pm = search_by_projection(
         cam, Tcw,
@@ -299,11 +345,18 @@ def _grow_map_device(cam, cfg, m, frame, Tcw, feat_pt, timestamp,
     )
 
     cap = cfg.map_capacity
+    m_in = m
     m, kf = add_keyframe(
         m, Tcw, timestamp, frame_id,
         frame.uv, frame.level, frame.angle, frame.ur, frame.depth,
         frame.desc, frame.valid, feat_pt,
     )
+    # map-full backstop: add_keyframe returned -1 and wrote nothing.
+    # Run the pipeline on a safe index and discard every mutation at
+    # the end (the host refuses insertion before this triggers; this
+    # guard keeps a race from overwriting keyframe 0, the gauge anchor)
+    kf_ok = kf >= 0
+    kf = jnp.clip(kf, 0)
     m = assign_parent(m, kf)
     if use_depth:
         m = _add_depth_points_body(
@@ -332,7 +385,12 @@ def _grow_map_device(cam, cfg, m, frame, Tcw, feat_pt, timestamp,
         m, culled = cull_keyframes(m, kf, n_levels=cfg.n_levels)
     else:
         culled = jnp.asarray(-1, jnp.int32)
-    return m, kf, culled
+    m = jax.tree.map(lambda a, b: jnp.where(kf_ok, a, b), m, m_in)
+    return (
+        m,
+        jnp.where(kf_ok, kf, -1),
+        jnp.where(kf_ok, culled, -1),
+    )
 
 
 class Tracker:
@@ -364,6 +422,8 @@ class Tracker:
         self._ref_Tcw_host = None  # host cache of kf_Tcw[ref_kf]
         self.frames_since_kf = 0
         self.frame_id = 0
+        self.n_live_kf = 0  # host mirror of live keyframe slots
+        self._warned_kf_capacity = False
         self.trajectory = []  # (timestamp, Tcw np [4,4]) per tracked frame
         # loop-consistent export: (timestamp, ref_kf, T_cr) with
         # Tcw = T_cr @ kf_Tcw[ref_kf] recomputed at save time against the
@@ -527,6 +587,8 @@ class Tracker:
         self.ref_kf = 0
         self.ref_kf_tracked = 0
         self.frames_since_kf = 0
+        self.n_live_kf = 0
+        self._warned_kf_capacity = False
         self.trajectory = []
         self.rel_trajectory = []
         self.stats = {"n_kf": 0, "reloc": 0, "lost_frames": 0, "loops": 0}
@@ -680,6 +742,7 @@ class Tracker:
         self.ref_kf_tracked = int(jnp.sum(created))
         self.frames_since_kf = 0
         self.stats["n_kf"] = 2
+        self.n_live_kf = 2
         self.last_feat_pt = row1
         self.velocity = None
 
@@ -716,6 +779,7 @@ class Tracker:
         self.ref_kf_tracked = int(jnp.sum(slots >= 0))
         self.frames_since_kf = 0
         self.stats["n_kf"] = 1
+        self.n_live_kf = 1
         self.last_feat_pt = row
         self.last_Tcw = np.eye(4)
         self._prev_Tcw = np.eye(4)
@@ -896,6 +960,22 @@ class Tracker:
                 need = True
         if not need:
             return
+        # host-side capacity gate (reference has no cap — heap-allocated
+        # keyframes; here slots are static). Refusing insertion keeps
+        # tracking alive on the existing map; culling frees slots over
+        # time. n_live_kf is a host mirror so no device sync is needed.
+        if self.n_live_kf >= self.cfg.max_keyframes:
+            if not self._warned_kf_capacity:
+                import warnings
+
+                warnings.warn(
+                    "keyframe capacity reached "
+                    f"({self.cfg.max_keyframes}); refusing new keyframes "
+                    "until culling frees slots. Raise max_keyframes for "
+                    "this sequence length."
+                )
+                self._warned_kf_capacity = True
+            return
 
         # the whole insertion pipeline (add KF + parent + depth points +
         # triangulation + fusion + maintenance + local BA + culling) is
@@ -915,6 +995,11 @@ class Tracker:
         kf, culled = jax.device_get((kf, culled))
         kf = int(kf)
         culled = int(culled)
+        if kf < 0:  # device-side backstop fired (host gate raced)
+            return
+        self.n_live_kf += 1
+        if culled >= 0:
+            self.n_live_kf -= 1
         if self.cfg.enable_kf_culling and culled >= 0:
             if self.ref_kf == culled:
                 self.ref_kf = kf

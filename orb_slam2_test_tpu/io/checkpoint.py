@@ -87,6 +87,7 @@ def load_tracker(path: str, tracker) -> None:
             f"checkpoint capacity {cap} != tracker capacity {tracker.cap}"
         )
     tracker.map = m
+    tracker.n_live_kf = int(np.sum(np.asarray(m.kf_valid)))
     tracker.state = meta["state"]
     tracker.ref_kf = meta["ref_kf"]
     tracker.ref_kf_tracked = meta["ref_kf_tracked"]

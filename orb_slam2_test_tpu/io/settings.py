@@ -100,6 +100,8 @@ class SlamSettings:
     max_keyframes: int = 256
     max_points: int = 32768
     local_kf_cap: int = 16
+    local_k2_cap: int = 64
+    local_pt_cap: int = 4096
     ba_pt_cap: int = 4096
 
     # Tracker thresholds (reference: hard-coded constants in
@@ -137,6 +139,8 @@ class SlamSettings:
             max_keyframes=int(self.max_keyframes),
             max_points=int(self.max_points),
             local_kf_cap=int(self.local_kf_cap),
+            local_k2_cap=int(self.local_k2_cap),
+            local_pt_cap=int(self.local_pt_cap),
             ba_pt_cap=int(self.ba_pt_cap),
             max_frames_between_kf=int(round(self.fps)),
             th_depth=float(self.th_depth),
@@ -180,6 +184,10 @@ _KEYMAP = {
     # TPU-side extension keys (optional in the YAML)
     "Map.maxKeyFrames": "max_keyframes",
     "Map.maxPoints": "max_points",
+    "Tracker.localKFCap": "local_kf_cap",
+    "Tracker.localK2Cap": "local_k2_cap",
+    "Tracker.localPtCap": "local_pt_cap",
+    "Tracker.baPtCap": "ba_pt_cap",
     "Tracker.minInitMatches": "min_init_matches",
     "Tracker.minInitTriangulated": "min_init_triangulated",
     "Tracker.minTrackMatches": "min_track_matches",
@@ -192,6 +200,7 @@ _KEYMAP = {
 _INT_FIELDS = {
     "width", "height", "n_features", "n_levels", "ini_th_fast",
     "min_th_fast", "max_keyframes", "max_points",
+    "local_kf_cap", "local_k2_cap", "local_pt_cap", "ba_pt_cap",
 }
 
 

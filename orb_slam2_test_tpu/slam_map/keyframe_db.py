@@ -80,6 +80,65 @@ class KeyFrameDatabase:
                     counts[kf] += 1
         return counts
 
+    def query_loop_candidates(
+        self,
+        qv: dict[int, float],
+        word_ids: np.ndarray,
+        exclude: set[int],
+        min_score: float,
+    ) -> list[tuple[int, float]]:
+        """Stage 1 of DetectLoopCandidates: shared-word prefilter
+        (> 0.8 * max common words) + L1 min-score gate against a query
+        BoW vector. O(shared-words + candidates) — no covisibility
+        needed, so the caller can compute groups for the few survivors
+        only (the round-1 version built groups for EVERY database
+        keyframe per query: quadratic at map scale)."""
+        counts = self._shared_word_counts(np.asarray(word_ids), exclude)
+        if not counts:
+            return []
+        max_common = max(counts.values())
+        min_common = 0.8 * max_common
+        scored = []
+        for kf, c in counts.items():
+            if c > min_common:
+                s = l1_score(qv, self.bow[kf])
+                if s >= min_score:
+                    scored.append((kf, s))
+        return scored
+
+    @staticmethod
+    def accumulate_groups(
+        scored: list[tuple[int, float]],
+        covis_groups: dict[int, set[int]],
+    ) -> list[int]:
+        """Stage 2: covisibility-group score accumulation + the
+        0.75 * best-accumulated cut (reference DetectLoopCandidates
+        second half). O(candidates * group size)."""
+        if not scored:
+            return []
+        score_of = dict(scored)
+        acc = []
+        for kf, s in scored:
+            group = covis_groups.get(kf, {kf})
+            tot, best_kf, best_s = s, kf, s
+            for kf2 in group:
+                if kf2 == kf:
+                    continue
+                s2 = score_of.get(kf2)
+                if s2 is not None:
+                    tot += s2
+                    if s2 > best_s:
+                        best_kf, best_s = kf2, s2
+            acc.append((best_kf, tot))
+        best_acc = max(t for _, t in acc)
+        th = 0.75 * best_acc
+        out, seen = [], set()
+        for kf, t in acc:
+            if t > th and kf not in seen:
+                seen.add(kf)
+                out.append(kf)
+        return out
+
     def detect_loop_candidates(
         self,
         kf_id: int,
@@ -92,39 +151,10 @@ class KeyFrameDatabase:
         accumulation, 0.75 * best cut. `covis_groups[k]` = covisible
         neighborhood of candidate k (for group accumulation)."""
         exclude = set(connected) | {kf_id}
-        counts = self._shared_word_counts(self.words[kf_id], exclude)
-        if not counts:
-            return []
-        max_common = max(counts.values())
-        min_common = 0.8 * max_common
-        scored = []
-        for kf, c in counts.items():
-            if c > min_common:
-                s = l1_score(self.bow[kf_id], self.bow[kf])
-                if s >= min_score:
-                    scored.append((kf, s))
-        if not scored:
-            return []
-        # accumulate over covisibility groups
-        acc = []
-        for kf, s in scored:
-            group = covis_groups.get(kf, {kf})
-            tot, best_kf, best_s = s, kf, s
-            for kf2 in group:
-                for kf3, s3 in scored:
-                    if kf3 == kf2 and kf3 != kf:
-                        tot += s3
-                        if s3 > best_s:
-                            best_kf, best_s = kf3, s3
-            acc.append((best_kf, tot))
-        best_acc = max(t for _, t in acc)
-        th = 0.75 * best_acc
-        out, seen = [], set()
-        for kf, t in acc:
-            if t > th and kf not in seen:
-                seen.add(kf)
-                out.append(kf)
-        return out
+        scored = self.query_loop_candidates(
+            self.bow[kf_id], self.words[kf_id], exclude, min_score
+        )
+        return self.accumulate_groups(scored, covis_groups)
 
     def detect_reloc_candidates(self, word_ids: np.ndarray) -> list[int]:
         """DetectRelocalizationCandidates (no min-score gate; groups

@@ -165,9 +165,15 @@ def make_empty_map(cap: MapCapacity) -> MapState:
 # ---------------------------------------------------------------------------
 
 
-def alloc_keyframe_slot(m: MapState) -> jax.Array:
-    """Index of the first free keyframe slot (argmin over valid mask)."""
-    return jnp.argmin(m.kf_valid.astype(jnp.int32))
+def alloc_keyframe_slot(m: MapState) -> tuple[jax.Array, jax.Array]:
+    """(slot, ok): first free keyframe slot and whether one exists.
+
+    When every slot is live, argmin returns 0 — which is the gauge
+    anchor keyframe; overwriting it would corrupt the map, so callers
+    must gate on `ok`. `add_keyframe` does this internally.
+    """
+    k = jnp.argmin(m.kf_valid.astype(jnp.int32))
+    return k, jnp.logical_not(m.kf_valid[k])
 
 
 def alloc_point_slots(m: MapState, count: int) -> jax.Array:
@@ -180,7 +186,13 @@ def alloc_point_slots(m: MapState, count: int) -> jax.Array:
     free = jnp.logical_not(m.pt_valid)
     # top_k over {0,1} returns free slots first, in ascending index order
     # within ties thanks to stable top_k on equal values.
-    vals, slots = jax.lax.top_k(free.astype(jnp.int32), count)
+    k = min(count, free.shape[0])
+    vals, slots = jax.lax.top_k(free.astype(jnp.int32), k)
+    if k < count:  # request larger than capacity: overflow rows fail
+        slots = jnp.concatenate(
+            [slots, jnp.zeros((count - k,), slots.dtype)]
+        )
+        vals = jnp.concatenate([vals, jnp.zeros((count - k,), vals.dtype)])
     return slots, vals > 0
 
 
@@ -202,28 +214,37 @@ def add_keyframe(
 
     Functional equivalent of `new KeyFrame(frame, map, kfdb)` +
     `Map::AddKeyFrame` (reference: Tracking::CreateNewKeyFrame).
+
+    When all slots are live (no heap to grow into, unlike the
+    reference), the insert is a NO-OP and kf_id = -1: every update
+    targets the out-of-bounds index K and is dropped. Callers must
+    treat kf_id < 0 as "map full" (the tracker refuses insertion
+    before this point via its live-keyframe count; this is the
+    device-side backstop protecting keyframe 0, the gauge anchor).
     """
-    k = alloc_keyframe_slot(m)
+    k, ok = alloc_keyframe_slot(m)
+    K = m.kf_valid.shape[0]
+    t = jnp.where(ok, k, K)  # OOB target drops every write when full
     m = m._replace(
-        kf_Tcw=m.kf_Tcw.at[k].set(Tcw),
-        kf_valid=m.kf_valid.at[k].set(True),
-        kf_timestamp=m.kf_timestamp.at[k].set(timestamp),
-        kf_frame_id=m.kf_frame_id.at[k].set(frame_id),
-        kf_uv=m.kf_uv.at[k].set(uv),
-        kf_level=m.kf_level.at[k].set(level),
-        kf_angle=m.kf_angle.at[k].set(angle),
-        kf_ur=m.kf_ur.at[k].set(ur),
-        kf_depth=m.kf_depth.at[k].set(depth),
-        kf_desc=m.kf_desc.at[k].set(desc),
-        kf_kp_valid=m.kf_kp_valid.at[k].set(kp_valid),
-        kf_pt_idx=m.kf_pt_idx.at[k].set(pt_idx),
+        kf_Tcw=m.kf_Tcw.at[t].set(Tcw, mode="drop"),
+        kf_valid=m.kf_valid.at[t].set(True, mode="drop"),
+        kf_timestamp=m.kf_timestamp.at[t].set(timestamp, mode="drop"),
+        kf_frame_id=m.kf_frame_id.at[t].set(frame_id, mode="drop"),
+        kf_uv=m.kf_uv.at[t].set(uv, mode="drop"),
+        kf_level=m.kf_level.at[t].set(level, mode="drop"),
+        kf_angle=m.kf_angle.at[t].set(angle, mode="drop"),
+        kf_ur=m.kf_ur.at[t].set(ur, mode="drop"),
+        kf_depth=m.kf_depth.at[t].set(depth, mode="drop"),
+        kf_desc=m.kf_desc.at[t].set(desc, mode="drop"),
+        kf_kp_valid=m.kf_kp_valid.at[t].set(kp_valid, mode="drop"),
+        kf_pt_idx=m.kf_pt_idx.at[t].set(pt_idx, mode="drop"),
         # fresh slot: no tree/loop links yet (slots can be recycled)
-        kf_parent=m.kf_parent.at[k].set(-1),
-        kf_loop_edge=m.kf_loop_edge.at[k].set(-1),
-        kf_Tcp=m.kf_Tcp.at[k].set(jnp.eye(4)),
-        n_kf=m.n_kf + 1,
+        kf_parent=m.kf_parent.at[t].set(-1, mode="drop"),
+        kf_loop_edge=m.kf_loop_edge.at[t].set(-1, mode="drop"),
+        kf_Tcp=m.kf_Tcp.at[t].set(jnp.eye(4), mode="drop"),
+        n_kf=m.n_kf + ok.astype(jnp.int32),
     )
-    return m, k
+    return m, jnp.where(ok, k, -1).astype(jnp.int32)
 
 
 def add_points(

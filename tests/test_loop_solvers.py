@@ -174,3 +174,21 @@ class TestPoseGraph:
             iters=3,
         )
         np.testing.assert_allclose(np.asarray(out[0]), np.eye(4), atol=1e-6)
+
+
+def test_essential_graph_edge_padding_no_truncation():
+    """_pad_edges must never drop edges: above EDGE_CAP it grows to the
+    next power-of-two bucket (round 1 silently truncated)."""
+    import jax.numpy as jnp
+    from orb_slam2_test_tpu.engine.loop_closing import EDGE_CAP, _pad_edges
+
+    for E in (5, EDGE_CAP, EDGE_CAP + 1, 3 * EDGE_CAP):
+        ei = jnp.arange(E, dtype=jnp.int32)
+        ej = jnp.arange(E, dtype=jnp.int32) + 1
+        meas = jnp.tile(jnp.eye(4)[None], (E, 1, 1))
+        pi, pj, pm, pv, cap = _pad_edges(ei, ej, meas)
+        assert cap >= E and cap >= EDGE_CAP
+        assert cap & (cap - 1) == 0 or cap == EDGE_CAP
+        assert pi.shape == (cap,) and pm.shape == (cap, 4, 4)
+        assert int(pv.sum()) == E
+        assert (np.asarray(pi[:E]) == np.asarray(ei)).all()

@@ -118,6 +118,51 @@ def test_observation_counts():
     assert (c[9:] == 0).all()
 
 
+def test_add_keyframe_full_map_is_noop():
+    """At capacity add_keyframe must refuse (kf = -1) and leave every
+    slot — in particular keyframe 0, the gauge anchor — untouched."""
+    m = make_empty_map(CAP)
+    for i in range(CAP.max_keyframes):
+        m, k = add_keyframe(m, jnp.eye(4), float(i), i, *_dummy_frame(10))
+        assert int(k) == i
+    T0 = np.asarray(m.kf_Tcw[0]).copy()
+    fid = np.asarray(m.kf_frame_id).copy()
+    m2, k = add_keyframe(
+        m,
+        jnp.full((4, 4), 7.0),
+        99.0,
+        99,
+        *_dummy_frame(5),
+    )
+    assert int(k) == -1
+    assert int(m2.n_kf) == CAP.max_keyframes
+    assert np.array_equal(np.asarray(m2.kf_Tcw[0]), T0)
+    assert np.array_equal(np.asarray(m2.kf_frame_id), fid)
+    # freeing a slot makes insertion work again, into that slot
+    m3 = erase_keyframe(m2, jnp.int32(3))
+    m3, k = add_keyframe(m3, jnp.eye(4), 100.0, 100, *_dummy_frame(5))
+    assert int(k) == 3
+
+
+def test_add_points_capacity_pressure():
+    """Batch insert with more rows than free slots: the overflow rows
+    get slot -1 and live points keep their data."""
+    m = make_empty_map(CAP)
+    P = CAP.max_points
+    B = P + 8
+    xyz = jnp.ones((B, 3))
+    desc = jnp.zeros((B, 8), jnp.uint32)
+    normal = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (B, 1))
+    m, slots = add_points(
+        m, xyz, desc, normal, jnp.zeros(B), jnp.ones(B), jnp.int32(0),
+        jnp.ones((B,), bool),
+    )
+    slots = np.asarray(slots)
+    assert (slots >= 0).sum() == P
+    assert int(m.n_pt) == P
+    assert bool(m.pt_valid.all())
+
+
 def test_erase_keyframe():
     m = _map_with_shared_points()
     m = erase_keyframe(m, jnp.int32(2))
