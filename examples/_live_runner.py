@@ -31,7 +31,9 @@ def live_parser(description: str) -> argparse.ArgumentParser:
                    help="listen for frames on this TCP port")
     p.add_argument("--port2", type=int, default=None,
                    help="second TCP port (right / depth stream)")
-    p.add_argument("--vocabulary", default=None)
+    p.add_argument("--vocabulary", default="default")
+    p.add_argument("--no-vocabulary", dest="vocabulary",
+                   action="store_const", const=None)
     p.add_argument("--viewer", action="store_true")
     p.add_argument("--traj-out", default="CameraTrajectory.txt")
     p.add_argument("--checkpoint-out", default=None)

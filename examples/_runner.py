@@ -23,8 +23,15 @@ def common_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("settings", help="settings YAML (reference format)")
     p.add_argument("sequence", help="dataset sequence directory")
     p.add_argument(
-        "--vocabulary", default=None,
-        help="DBoW2 text vocabulary (enables loop closing + reloc)",
+        "--vocabulary", default="default",
+        help="vocabulary path (.npz native or DBoW2 text). Default: the"
+             " packaged artifact — loop closing + BoW relocalization "
+             "are ON out of the box, as in the reference",
+    )
+    p.add_argument(
+        "--no-vocabulary", dest="vocabulary",
+        action="store_const", const=None,
+        help="disable place recognition (no loop closing / BoW reloc)",
     )
     p.add_argument("--traj-out", default="CameraTrajectory.txt")
     p.add_argument("--kf-traj-out", default="KeyFrameTrajectory.txt")

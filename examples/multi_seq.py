@@ -41,7 +41,9 @@ def parse_args():
                    choices=["kitti", "tum", "euroc"])
     p.add_argument("--sensor", default="stereo",
                    choices=["monocular", "stereo", "rgbd"])
-    p.add_argument("--vocabulary", default=None)
+    p.add_argument("--vocabulary", default="default")
+    p.add_argument("--no-vocabulary", dest="vocabulary",
+                   action="store_const", const=None)
     p.add_argument("--joint-ba-every", type=int, default=200,
                    help="frames (summed over sequences) between joint BAs")
     p.add_argument("--joint-ba-iters", type=int, default=8)

@@ -25,6 +25,7 @@ The text loader exists for format parity.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 import jax
@@ -218,6 +219,69 @@ def transform(
     words = leaf_word[cur]
     words = jnp.where(valid, words, -1)
     return words, jnp.where(valid, mid, -1)
+
+
+# ---------------------------------------------------------------------------
+# Native npz vocabulary format (fast load; the DBoW2 text format below
+# exists for parity with the reference's ORBvoc.txt)
+# ---------------------------------------------------------------------------
+
+
+def save_vocabulary_npz(voc: Vocabulary, path: str) -> None:
+    """Compact binary vocabulary artifact (loads in ~ms vs the
+    reference's 10-20 s ORBvoc.txt parse, System.cc:~55)."""
+    np.savez_compressed(
+        path,
+        node_desc=voc.node_desc,
+        node_children=voc.node_children,
+        node_is_leaf=voc.node_is_leaf,
+        leaf_word=voc.leaf_word,
+        word_weight=voc.word_weight,
+        k=np.int32(voc.k),
+        depth=np.int32(voc.depth),
+    )
+
+
+def load_vocabulary_npz(path: str) -> Vocabulary:
+    with np.load(path) as z:
+        return Vocabulary(
+            node_desc=z["node_desc"],
+            node_children=z["node_children"],
+            node_is_leaf=z["node_is_leaf"],
+            leaf_word=z["leaf_word"],
+            word_weight=z["word_weight"],
+            k=int(z["k"]),
+            depth=int(z["depth"]),
+        )
+
+
+# packaged default artifact (trained by examples/build_vocab.py on a
+# synthetic multi-scene sweep with this framework's own BRIEF pattern —
+# the reference's ORBvoc.txt is semantically incompatible with it).
+# Analog of the reference shipping Vocabulary/ORBvoc.txt.tar.gz.
+DEFAULT_VOCABULARY_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "data", "vocab_k10_L5.npz"
+)
+
+
+def load_vocabulary(path: str) -> Vocabulary:
+    """Load a vocabulary by extension: .npz (native) or DBoW2 text."""
+    if path.endswith(".npz"):
+        return load_vocabulary_npz(path)
+    return load_text_vocabulary(path)
+
+
+def default_vocabulary() -> Vocabulary:
+    """The shipped vocabulary (reference: System loads ORBvoc.txt
+    unconditionally at startup). Raises with a pointer to
+    examples/build_vocab.py if the artifact is absent."""
+    path = os.path.normpath(DEFAULT_VOCABULARY_PATH)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no packaged vocabulary at {path}; train one with "
+            "`python examples/build_vocab.py` or pass --no-vocabulary"
+        )
+    return load_vocabulary_npz(path)
 
 
 # ---------------------------------------------------------------------------

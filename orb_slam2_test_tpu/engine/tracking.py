@@ -91,6 +91,10 @@ class TrackerConfig:
     kf_close_untracked_min: int = 70
     enable_fuse: bool = True  # SearchInNeighbors duplicate fusion
     enable_kf_culling: bool = True  # KeyFrameCulling
+    # overlap the keyframe pipeline with tracking: defer the host sync
+    # of the insertion program until the next keyframe decision
+    # (reference: LocalMapping/LoopClosing run in their own pthreads)
+    async_backend: bool = True
     seed: int = 0
 
     @property
@@ -424,6 +428,8 @@ class Tracker:
         self.frame_id = 0
         self.n_live_kf = 0  # host mirror of live keyframe slots
         self._warned_kf_capacity = False
+        self._pending_kf = None  # deferred (kf, culled) device scalars
+        self._ref_is_new_kf = False  # this frame created its ref KF
         self.trajectory = []  # (timestamp, Tcw np [4,4]) per tracked frame
         # loop-consistent export: (timestamp, ref_kf, T_cr) with
         # Tcw = T_cr @ kf_Tcw[ref_kf] recomputed at save time against the
@@ -506,6 +512,9 @@ class Tracker:
 
         self._close_counts = None  # per-frame cache (fused path fills it)
         if self.state == TrackingState.LOST:
+            # the last keyframe must reach the place-recognition
+            # database before relocalization can find it
+            self.flush_backend()
             with profiler.span("relocalization"):
                 ok = self._relocalize(frame)
             if ok:
@@ -543,16 +552,25 @@ class Tracker:
             self.trajectory.append(
                 (float(frame.timestamp), np.asarray(self.last_Tcw))
             )
-            T_ref = getattr(self, "_ref_Tcw_host", None)
-            if T_ref is None:
-                T_ref = np.asarray(self.map.kf_Tcw[self.ref_kf])
-            self.rel_trajectory.append(
-                (
-                    float(frame.timestamp),
-                    int(self.ref_kf),
-                    self.last_Tcw @ np.linalg.inv(T_ref),
+            if self._ref_is_new_kf:
+                # this frame created its reference keyframe at its own
+                # pose: Tcr = identity, and the ref id may still be a
+                # device scalar (resolved at flush/export)
+                self._ref_is_new_kf = False
+                self.rel_trajectory.append(
+                    (float(frame.timestamp), self.ref_kf, np.eye(4))
                 )
-            )
+            else:
+                T_ref = getattr(self, "_ref_Tcw_host", None)
+                if T_ref is None:
+                    T_ref = np.asarray(self.map.kf_Tcw[self.ref_kf])
+                self.rel_trajectory.append(
+                    (
+                        float(frame.timestamp),
+                        int(self.ref_kf),
+                        self.last_Tcw @ np.linalg.inv(T_ref),
+                    )
+                )
         else:
             self.state = TrackingState.LOST
             self.stats["lost_frames"] += 1
@@ -589,6 +607,8 @@ class Tracker:
         self.frames_since_kf = 0
         self.n_live_kf = 0
         self._warned_kf_capacity = False
+        self._pending_kf = None
+        self._ref_is_new_kf = False
         self.trajectory = []
         self.rel_trajectory = []
         self.stats = {"n_kf": 0, "reloc": 0, "lost_frames": 0, "loops": 0}
@@ -627,7 +647,7 @@ class Tracker:
         out = []
         for ts, ref, T_cr in self.rel_trajectory:
             T_ref = self._resolve_ref_pose(
-                ref, kf_Tcw, kf_valid, kf_parent, kf_Tcp
+                int(ref), kf_Tcw, kf_valid, kf_parent, kf_Tcp
             )
             out.append((ts, T_cr @ T_ref))
         return out
@@ -635,6 +655,7 @@ class Tracker:
     def export_keyframe_trajectory(self) -> list:
         """[(timestamp, Tcw)] of live keyframes, ordered by frame id
         (reference System::SaveKeyFrameTrajectoryTUM)."""
+        self.flush_backend()
         m = self.map
         valid = np.nonzero(np.asarray(m.kf_valid))[0]
         fids = np.asarray(m.kf_frame_id)[valid]
@@ -960,6 +981,10 @@ class Tracker:
                 need = True
         if not need:
             return
+        # resolve the PREVIOUS keyframe's deferred work (loop closing,
+        # cull bookkeeping) before growing the map again — keyframes
+        # reach the place-recognition database in insertion order
+        self.flush_backend()
         # host-side capacity gate (reference has no cap — heap-allocated
         # keyframes; here slots are static). Refusing insertion keeps
         # tracking alive on the existing map; culling frees slots over
@@ -979,7 +1004,13 @@ class Tracker:
 
         # the whole insertion pipeline (add KF + parent + depth points +
         # triangulation + fusion + maintenance + local BA + culling) is
-        # ONE device program with one host sync
+        # ONE device program — dispatched asynchronously. The reference
+        # overlaps tracking with LocalMapping via a second pthread and
+        # aborts local BA on new keyframes (mbAbortBA); here JAX async
+        # dispatch provides the overlap: the host keeps tracking frames
+        # (their device programs queue after the bounded-size BA) and
+        # the scalar results (kf id, culled id) are not synced until the
+        # NEXT keyframe decision needs them (flush_backend above).
         m, kf, culled = _grow_map_device(
             self.cam, self.cfg, self.map, frame,
             jnp.asarray(self.last_Tcw), self.cur_feat_pt,
@@ -992,33 +1023,70 @@ class Tracker:
             use_depth,
             self.close_depth is not None,
         )
-        kf, culled = jax.device_get((kf, culled))
-        kf = int(kf)
-        culled = int(culled)
-        if kf < 0:  # device-side backstop fired (host gate raced)
-            return
-        self.n_live_kf += 1
-        if culled >= 0:
-            self.n_live_kf -= 1
-        if self.cfg.enable_kf_culling and culled >= 0:
-            if self.ref_kf == culled:
-                self.ref_kf = kf
-            if self.loop_closer is not None:
-                self.loop_closer.db.erase(culled)
-        if self.loop_closer is not None:
-            m, closed = self.loop_closer.on_new_keyframe(m, kf)
-            if closed:
-                self.stats["loops"] += 1
-                # poses moved: refresh the tracked pose from the new KF
-                self.last_Tcw = np.asarray(m.kf_Tcw[kf])
-                self.velocity = None
         self.map = m
-        self.ref_kf = int(kf)
+        # the host gate above guarantees a free slot, so kf >= 0 and the
+        # counters can advance without waiting on the device
+        self.n_live_kf += 1
+        self.stats["n_kf"] += 1
+        self.ref_kf = kf  # device scalar until flushed
+        self._ref_is_new_kf = True
         self.ref_kf_tracked = self.n_tracked
         self.frames_since_kf = 0
-        self.stats["n_kf"] += 1
         # refresh current matches from the (BA-updated) keyframe row
         self.cur_feat_pt = m.kf_pt_idx[kf]
         # ref-KF pose cache is stale: new ref + BA/loop moved poses
         self._ref_Tcw_host = None
+        self._pending_kf = (kf, culled)
+        if not self.cfg.async_backend:
+            self.flush_backend()
+
+    def flush_backend(self) -> None:
+        """Resolve the deferred keyframe pipeline: sync the (kf, culled)
+        scalars of the last insertion, apply cull bookkeeping, and run
+        loop closing for that keyframe (reference: the LocalMapping /
+        LoopClosing threads consuming the keyframe queue). Called before
+        the next keyframe decision, before relocalization (the keyframe
+        must be in the place-recognition database), and before any
+        export/checkpoint. Safe to call at any time."""
+        if self._pending_kf is None:
+            return
+        kf, culled = self._pending_kf
+        self._pending_kf = None
+        kf, culled = jax.device_get((kf, culled))
+        kf = int(kf)
+        culled = int(culled)
+        if kf < 0:
+            # cannot happen while the host capacity gate is accurate
+            # (the mirror only ever over-counts); fail loudly rather
+            # than track against a corrupted map
+            raise RuntimeError(
+                "keyframe insertion refused by the device backstop "
+                "despite the host capacity gate"
+            )
+        if culled >= 0:
+            self.n_live_kf -= 1
+        if self.cfg.enable_kf_culling and culled >= 0:
+            if int(self.ref_kf) == culled:
+                self.ref_kf = kf
+            if self.loop_closer is not None:
+                self.loop_closer.db.erase(culled)
+        if isinstance(self.ref_kf, jax.Array):
+            self.ref_kf = int(self.ref_kf)
+        if self.loop_closer is not None:
+            m_before = self.map
+            m, closed = self.loop_closer.on_new_keyframe(m_before, kf)
+            if closed:
+                self.stats["loops"] += 1
+                # keyframe poses moved while tracking continued: carry
+                # the tracked pose through the same correction the
+                # keyframe received (T_new = Tkf_new Tkf_old^-1 T_old),
+                # then drop the motion model (reference Tracking falls
+                # back to TrackReferenceKeyFrame after a loop)
+                T_corr = np.asarray(
+                    m.kf_Tcw[kf] @ se3_inverse(m_before.kf_Tcw[kf])
+                )
+                self.last_Tcw = T_corr @ self.last_Tcw
+                self.velocity = None
+                self._ref_Tcw_host = None
+            self.map = m
 

@@ -58,6 +58,7 @@ def load_map(path: str) -> tuple[MapState, MapCapacity, dict]:
 
 def save_tracker(path: str, tracker) -> None:
     """Checkpoint a full Tracker: map + host state + trajectory."""
+    tracker.flush_backend()  # resolve any deferred keyframe pipeline
     meta = {
         "state": tracker.state,
         "ref_kf": int(tracker.ref_kf),

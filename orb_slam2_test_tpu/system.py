@@ -82,12 +82,26 @@ class System:
         if vocabulary is not None:
             from orb_slam2_test_tpu.bow.vocabulary import (
                 Vocabulary,
-                load_text_vocabulary,
+                default_vocabulary,
+                load_vocabulary,
             )
 
-            if isinstance(vocabulary, str):
+            if vocabulary == "default":
+                # the packaged artifact (reference: System loads
+                # Vocabulary/ORBvoc.txt unconditionally, System.cc:~55)
                 t0 = time.time()
-                self.vocabulary = load_text_vocabulary(vocabulary)
+                try:
+                    self.vocabulary = default_vocabulary()
+                    print(
+                        f"Vocabulary loaded in {time.time() - t0:.2f}s "
+                        f"({self.vocabulary.n_words} words)"
+                    )
+                except FileNotFoundError as e:
+                    print(f"WARNING: {e}; running without place "
+                          "recognition")
+            elif isinstance(vocabulary, str):
+                t0 = time.time()
+                self.vocabulary = load_vocabulary(vocabulary)
                 print(
                     f"Vocabulary loaded in {time.time() - t0:.2f}s "
                     f"({self.vocabulary.n_words} words)"
@@ -96,9 +110,10 @@ class System:
                 self.vocabulary = vocabulary
             # stereo/RGB-D fixes Sim3 scale (reference: bFixScale =
             # sensor != MONOCULAR in System ctor)
-            self.tracker.enable_place_recognition(
-                self.vocabulary, fix_scale=(sensor != MONOCULAR)
-            )
+            if self.vocabulary is not None:
+                self.tracker.enable_place_recognition(
+                    self.vocabulary, fix_scale=(sensor != MONOCULAR)
+                )
 
         self.viewer = None
         if use_viewer:
@@ -151,6 +166,7 @@ class System:
     def activate_localization_mode(self):
         """Track against the frozen map; no new keyframes/points
         (reference ActivateLocalizationMode stops LocalMapping)."""
+        self.tracker.flush_backend()  # drain the keyframe pipeline
         self.tracker.localization_only = True
 
     def deactivate_localization_mode(self):
@@ -161,12 +177,13 @@ class System:
         self._frame_times = []
 
     def shutdown(self):
-        """Flush pending device work and the viewer. (The reference
-        joins its 3 threads here; our stages are synchronous per
-        keyframe, so there is nothing to join — only async dispatch to
-        drain.)"""
+        """Flush pending device work and the viewer (the reference
+        joins its LocalMapping/LoopClosing/Viewer threads here; our
+        deferred keyframe pipeline + async dispatch is drained
+        instead)."""
         import jax
 
+        self.tracker.flush_backend()
         for leaf in self.tracker.map:
             try:
                 leaf.block_until_ready()

@@ -191,6 +191,145 @@ def render_frame(
     return img
 
 
+def make_loop_trajectory(
+    n_frames: int,
+    radius: float = 50.0,
+    revolutions: float = 1.08,
+    y_wobble: float = 0.15,
+) -> np.ndarray:
+    """Circular driving loop in the x-z plane, camera facing along the
+    tangent (a KITTI-like closed loop: the end revisits the start, so
+    place recognition must fire). Returns Tcw [n, 4, 4].
+
+    revolutions > 1 gives post-loop overlap frames; y_wobble adds a
+    slow vertical oscillation so the trajectory is not exactly planar
+    (degenerate for homography-based checks).
+    """
+    thetas = np.linspace(
+        0.0, 2.0 * np.pi * revolutions, n_frames, dtype=np.float64
+    )
+    poses = np.zeros((n_frames, 4, 4), np.float32)
+    for i, th in enumerate(thetas):
+        p = np.array(
+            [
+                radius * np.cos(th),
+                y_wobble * np.sin(3.0 * th),
+                radius * np.sin(th),
+            ]
+        )
+        z_cam = np.array([-np.sin(th), 0.0, np.cos(th)])  # tangent
+        y_cam = np.array([0.0, 1.0, 0.0])
+        x_cam = np.cross(y_cam, z_cam)
+        R_wc = np.stack([x_cam, y_cam, z_cam], axis=1)
+        Tcw = np.eye(4)
+        Tcw[:3, :3] = R_wc.T
+        Tcw[:3, 3] = -R_wc.T @ p
+        poses[i] = Tcw
+    return poses
+
+
+def make_loop_scene(
+    rng: np.random.Generator,
+    n_landmarks: int,
+    radius: float = 50.0,
+    wall_near: float = 3.0,
+    wall_far: float = 12.0,
+    y_spread: float = 4.0,
+):
+    """Landmark field lining a circular corridor: textured quads on the
+    inner and outer 'walls', facing the path. Returns (landmarks [m,3],
+    intensities [m], patches, normals [m,3], ref_dist [m])."""
+    th = rng.uniform(0.0, 2.0 * np.pi, size=n_landmarks)
+    side = np.where(rng.uniform(size=n_landmarks) < 0.5, 1.0, -1.0)
+    off = rng.uniform(wall_near, wall_far, size=n_landmarks)
+    r = radius + side * off
+    y = rng.uniform(-y_spread, y_spread, size=n_landmarks)
+    landmarks = np.stack(
+        [r * np.cos(th), y, r * np.sin(th)], axis=1
+    ).astype(np.float32)
+    # quad normal: radially toward the path
+    radial = np.stack(
+        [np.cos(th), np.zeros_like(th), np.sin(th)], axis=1
+    )
+    normals = (-side[:, None] * radial).astype(np.float32)
+    ref_dist = np.sqrt(off**2 + y**2).astype(np.float32)
+    intensities = rng.uniform(120.0, 255.0, size=n_landmarks).astype(
+        np.float32
+    )
+    patches = _landmark_patches(n_landmarks, seed=int(rng.integers(1 << 30)))
+    return landmarks, intensities, patches, normals, ref_dist
+
+
+def render_loop_sequence(
+    rng: np.random.Generator,
+    n_frames: int,
+    cam: PinholeCamera,
+    n_landmarks: int = 4000,
+    radius: float = 50.0,
+    baseline: float = 0.0,
+    blackout: tuple = (),
+    with_depth: bool = False,
+    revolutions: float = 1.08,
+):
+    """Full KITTI-scale closed-loop sequence.
+
+    Returns dict with keys: poses [n,4,4] (Tcw, left camera), left
+    (list of [H,W]), and optionally right (baseline > 0) / depth
+    (with_depth). Frames whose index is in `blackout` render as flat
+    background (tracking must go LOST and relocalize after).
+    """
+    poses = make_loop_trajectory(n_frames, radius, revolutions)
+    landmarks, intens, patches, normals, ref_dist = make_loop_scene(
+        rng, n_landmarks, radius
+    )
+    left, right, depth = [], [], []
+    blackset = set(int(b) for b in blackout)
+    bg = 16.0
+    for i in range(n_frames):
+        Tcw = poses[i]
+        if i in blackset:
+            left.append(np.full((cam.height, cam.width), bg, np.float32))
+            if baseline > 0.0:
+                right.append(
+                    np.full((cam.height, cam.width), bg, np.float32)
+                )
+            if with_depth:
+                depth.append(
+                    np.zeros((cam.height, cam.width), np.float32)
+                )
+            continue
+        if with_depth:
+            img, d = render_frame(
+                cam, Tcw, landmarks, intens, patches=patches,
+                normals=normals, ref_dist=ref_dist, return_depth=True,
+            )
+            depth.append(d)
+        else:
+            img = render_frame(
+                cam, Tcw, landmarks, intens, patches=patches,
+                normals=normals, ref_dist=ref_dist,
+            )
+        left.append(img)
+        if baseline > 0.0:
+            # right camera: offset by +baseline along the camera x axis
+            # (rectified stereo: Tcw_r = T_rl @ Tcw_l with T_rl a pure
+            # x-translation of -baseline in camera coords)
+            T_rl = np.eye(4, dtype=np.float32)
+            T_rl[0, 3] = -baseline
+            right.append(
+                render_frame(
+                    cam, T_rl @ Tcw, landmarks, intens, patches=patches,
+                    normals=normals, ref_dist=ref_dist,
+                )
+            )
+    out = {"poses": poses, "left": left}
+    if baseline > 0.0:
+        out["right"] = right
+    if with_depth:
+        out["depth"] = depth
+    return out
+
+
 def make_sequence(
     rng: np.random.Generator,
     n_frames: int,
