@@ -1,14 +1,23 @@
-"""Benchmark: per-frame tracking throughput on one TPU chip.
+"""Benchmark: tracking throughput on one TPU chip, at the target config.
 
-Measures the flagship hot path (ORB extraction at 640x480/1000 features
-+ local-map projection matching against 2048 points + motion-only GN
-pose optimization, all fused in one jitted program) and reports
-frames/s vs the reference's ~30 Hz tracking rate at the same
-resolution/feature count on an i7 CPU (BASELINE.md: ORB-SLAM2 paper
-timing table).
+Headline metric (BASELINE.md driver target): KITTI-stereo tracking —
+1241x376, 2000 features, stereo scanline matching, local-map projection
+matching and motion-only GN, with the FULL keyframe-insertion pipeline
+(triangulation + fusion + maintenance + local BA + culling) amortized
+in at a 1-in-8 frame cadence — vs the reference's ~10 Hz on an i7.
+
+The benched programs are the production ones: engine.tracking's
+_track_frame_device and _grow_map_device, chained K frames inside one
+jitted program so the number is true device time per frame, not
+tunnel/dispatch overhead (the CLI drivers pay ~100 ms/frame of remote
+round-trip in this sandbox that a co-located host does not).
+
+Also reported (extra): the legacy mono 640x480/1000-feature fps vs the
+reference's ~30 Hz, keyframe-insert cost, and a roofline account (FLOP
+and HBM-byte utilization from XLA cost analysis vs chip peaks).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 """
 
 from __future__ import annotations
@@ -18,64 +27,282 @@ import time
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 import __graft_entry__ as graft
+from orb_slam2_test_tpu.engine.frame import build_frame_stereo
+from orb_slam2_test_tpu.engine.tracking import (
+    TrackerConfig,
+    _grow_map_device,
+    _track_frame_device,
+)
+from orb_slam2_test_tpu.geometry.camera import PinholeCamera
+from orb_slam2_test_tpu.slam_map.mapstate import make_empty_map
 
-BASELINE_FPS = 30.0  # reference tracking rate @640x480/1000 feats (i7)
-WARMUP = 3
-ITERS = 5
+BASELINE_FPS_KITTI = 10.0  # reference KITTI stereo rate (i7, BASELINE.md)
+BASELINE_FPS_MONO = 30.0  # reference 640x480/1000-feat rate
+KF_EVERY = 8  # keyframe cadence in the chain (KITTI inserts ~1 in 5-15)
+
+# TPU v5e (1 chip) peaks — roofline denominators
+PEAK_BF16_FLOPS = 197e12
+PEAK_HBM_BYTES = 819e9
+
+KITTI_CAM = PinholeCamera(
+    fx=718.856, fy=718.856, cx=607.19, cy=185.22,
+    width=1241, height=376, bf=718.856 * 0.53716,
+)
+KITTI_CFG = TrackerConfig(
+    n_features=2000,
+    max_keyframes=256,
+    max_points=65536,
+    local_pt_cap=8192,
+    kf_ref_ratio=0.75,
+)
 
 
-def main():
-    import jax.numpy as jnp
+def _bench_map(cfg: TrackerConfig, n_kf: int, n_pt: int, seed: int = 0):
+    """A synthetically-filled MapState at the target capacities. The
+    content is random — every benched program is a fixed dataflow graph
+    whose cost depends on shapes, not values."""
+    rng = np.random.default_rng(seed)
+    cap = cfg.map_capacity
+    m = make_empty_map(cap)
+    K, N, P = cap.max_keyframes, cap.max_features, cap.max_points
+    cam = KITTI_CAM
+    uv = np.stack(
+        [
+            rng.uniform(20, cam.width - 20, (K, N)),
+            rng.uniform(20, cam.height - 20, (K, N)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    Tcw = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+    Tcw[:, 0, 3] = rng.uniform(-0.5, 0.5, K)
+    Tcw[:, 2, 3] = rng.uniform(-0.5, 0.5, K)
+    xyz = np.stack(
+        [
+            rng.uniform(-20, 20, P),
+            rng.uniform(-3, 3, P),
+            rng.uniform(5, 40, P),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    dist = np.linalg.norm(xyz, axis=-1).astype(np.float32)
+    return m._replace(
+        kf_Tcw=jnp.asarray(Tcw),
+        kf_valid=jnp.asarray(np.arange(K) < n_kf),
+        kf_uv=jnp.asarray(uv),
+        kf_level=jnp.asarray(
+            rng.integers(0, cap.n_levels, (K, N)), jnp.int32
+        ),
+        kf_desc=jnp.asarray(
+            rng.integers(0, 2**32, (K, N, 8), dtype=np.uint32)
+        ),
+        kf_kp_valid=jnp.asarray(
+            np.broadcast_to((np.arange(K) < n_kf)[:, None], (K, N)).copy()
+        ),
+        kf_pt_idx=jnp.asarray(
+            np.where(
+                (np.arange(K) < n_kf)[:, None]
+                & (rng.uniform(size=(K, N)) < 0.5),
+                rng.integers(0, n_pt, (K, N)),
+                -1,
+            ),
+            jnp.int32,
+        ),
+        kf_parent=jnp.asarray(
+            np.maximum(np.arange(K) - 1, -1), jnp.int32
+        ),
+        pt_xyz=jnp.asarray(xyz),
+        pt_valid=jnp.asarray(np.arange(P) < n_pt),
+        pt_desc=jnp.asarray(
+            rng.integers(0, 2**32, (P, 8), dtype=np.uint32)
+        ),
+        pt_normal=jnp.asarray(xyz / np.maximum(dist[:, None], 1e-6)),
+        pt_min_dist=jnp.asarray(dist * 0.3),
+        pt_max_dist=jnp.asarray(dist * 3.0),
+        pt_ref_kf=jnp.asarray(
+            rng.integers(0, n_kf, P), jnp.int32
+        ),
+        pt_first_kf=jnp.zeros((P,), jnp.int32),
+        pt_visible=jnp.full((P,), 10.0),
+        pt_found=jnp.full((P,), 8.0),
+        n_kf=jnp.asarray(n_kf, jnp.int32),
+        n_pt=jnp.asarray(n_pt, jnp.int32),
+    )
 
+
+def _kitti_chain(n_steps: int, with_kf: bool):
+    """One jitted program: n_steps stereo frames through the REAL
+    per-frame tracking program, with the REAL keyframe pipeline every
+    KF_EVERY-th frame (with_kf)."""
+    cam, cfg = KITTI_CAM, KITTI_CFG
+    cd = jnp.float32(cfg.th_depth * cam.baseline)
+
+    @jax.jit
+    def run(m, imgL, imgR, Tcw0, feat0):
+        def body(carry, i):
+            m, T, feat = carry
+            # per-frame image perturbation keeps iterations distinct
+            d = (i.astype(jnp.float32) + T[0, 0] * 0.0) * 1e-3
+            frame = build_frame_stereo(
+                imgL + d, imgR + d, 0.0, cam,
+                n_features=cfg.n_features,
+                n_levels=cfg.n_levels,
+                scale_factor=cfg.scale_factor,
+            )
+            outs = _track_frame_device(
+                cam, cfg, m, frame, T, feat,
+                jnp.asarray(0, jnp.int32), cd,
+            )
+            Tcw_l, new_feat = outs[5], outs[7]
+            if with_kf:
+                m, _, _ = jax.lax.cond(
+                    (i % KF_EVERY) == (KF_EVERY - 1),
+                    lambda m: _grow_map_device(
+                        cam, cfg, m, frame, Tcw_l, new_feat,
+                        jnp.float32(0.0), i, cd, True, True,
+                    ),
+                    lambda m: (
+                        m,
+                        jnp.asarray(-1, jnp.int32),
+                        jnp.asarray(-1, jnp.int32),
+                    ),
+                    m,
+                )
+            return (m, Tcw_l, new_feat), None
+
+        (m, T, feat), _ = jax.lax.scan(
+            body, (m, Tcw0, feat0), jnp.arange(n_steps)
+        )
+        return T, m.n_kf, m.n_pt
+
+    return run
+
+
+def _time_chain(fn, args_list, n_steps, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args_list[0])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for a in args_list:
+        out = fn(*a)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return dt / (len(args_list) * n_steps)
+
+
+def _cost(fn, *args):
+    """XLA-estimated (flops, bytes) of a jitted callable."""
+    try:
+        c = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return float(c.get("flops", 0.0)), float(
+            c.get("bytes accessed", 0.0)
+        )
+    except Exception:
+        return 0.0, 0.0
+
+
+def bench_kitti_stereo():
+    cfg = KITTI_CFG
+    m = _bench_map(cfg, n_kf=48, n_pt=40000)
+    rng = np.random.default_rng(7)
+    H, W = KITTI_CAM.height, KITTI_CAM.width
+    N_STEPS, CALLS = 16, 3
+
+    def mk_args(seed):
+        r = np.random.default_rng(seed)
+        imgL = jnp.asarray(r.uniform(0, 255, (H, W)), jnp.float32)
+        imgR = jnp.asarray(r.uniform(0, 255, (H, W)), jnp.float32)
+        feat0 = jnp.asarray(
+            r.integers(-1, 40000, cfg.n_features), jnp.int32
+        )
+        return (m, imgL, imgR, jnp.eye(4), feat0)
+
+    args_list = [mk_args(s) for s in range(CALLS)]
+
+    track_only = _kitti_chain(N_STEPS, with_kf=False)
+    with_kf = _kitti_chain(N_STEPS, with_kf=True)
+
+    t_track = _time_chain(track_only, args_list, N_STEPS)
+    t_amort = _time_chain(with_kf, args_list, N_STEPS)
+    # keyframe pipeline cost = the cadence-amortized difference
+    kf_ms = max(t_amort - t_track, 0.0) * KF_EVERY * 1e3
+
+    # roofline: XLA cost analysis of the amortized chain
+    flops, byts = _cost(with_kf, *args_list[0])
+    per_frame = 1.0 / t_amort
+    mfu = (flops / N_STEPS) / t_amort / PEAK_BF16_FLOPS
+    hbm = (byts / N_STEPS) / t_amort / PEAK_HBM_BYTES
+    return {
+        "kitti_stereo_fps": per_frame,
+        "kitti_track_only_fps": 1.0 / t_track,
+        "kf_insert_ms": kf_ms,
+        "mfu_pct": 100.0 * mfu,
+        "hbm_util_pct": 100.0 * hbm,
+    }
+
+
+def bench_mono():
+    """Round-1 metric: fused mono extract+match+pose at 640x480/1000."""
     _, args = graft.entry()
     img0, rest = args[0], args[1:]
-
-    # chain K dependent steps inside ONE jitted program: measures true
-    # device time per frame without per-dispatch tunnel/runtime overhead
-    # (every frame differs: the image is perturbed by the running carry,
-    # and the predicted pose is fed forward).
-    K = 32
+    K, CALLS = 32, 3
 
     @jax.jit
     def run_chain(img, Tcw0):
         def body(carry, _):
             c, T = carry
-            T2, n = graft.tracking_step(
-                img + c, *rest[:-1], T
-            )
-            return (c + T2[0, 0] * 0 + n.astype(jnp.float32) * 1e-9, T2), None
+            T2, n = graft.tracking_step(img + c, *rest[:-1], T)
+            return (
+                c + T2[0, 0] * 0 + n.astype(jnp.float32) * 1e-9,
+                T2,
+            ), None
 
         (c, T), _ = jax.lax.scan(body, (0.0, Tcw0), None, length=K)
         return c, T
 
-    Tcw0 = rest[-1]
-    # distinct images per call — the device runtime memoizes repeated
-    # identical dispatches, which would inflate the number
     rng = np.random.default_rng(7)
     imgs = [
         img0 + jnp.asarray(rng.uniform(0, 1, img0.shape), jnp.float32)
-        for _ in range(ITERS)
+        for _ in range(CALLS)
     ]
-    for _ in range(WARMUP):
-        out = run_chain(imgs[0], Tcw0)
+    for _ in range(2):
+        out = run_chain(imgs[0], rest[-1])
     jax.block_until_ready(out)
-
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        out = run_chain(imgs[i], Tcw0)
+    for i in range(CALLS):
+        out = run_chain(imgs[i], rest[-1])
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
+    return CALLS * K / dt
 
-    fps = ITERS * K / dt
+
+def main():
+    mono_fps = bench_mono()
+    kitti = bench_kitti_stereo()
+    fps = kitti["kitti_stereo_fps"]
     print(
         json.dumps(
             {
-                "metric": "tracking_fps_640x480_1000feat",
+                "metric": "kitti_stereo_fps_1241x376_2000feat_kf_amortized",
                 "value": round(fps, 2),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 2),
+                "vs_baseline": round(fps / BASELINE_FPS_KITTI, 2),
+                "extra": {
+                    "kitti_track_only_fps": round(
+                        kitti["kitti_track_only_fps"], 2
+                    ),
+                    "kf_insert_ms": round(kitti["kf_insert_ms"], 2),
+                    "mfu_pct": round(kitti["mfu_pct"], 2),
+                    "hbm_util_pct": round(kitti["hbm_util_pct"], 2),
+                    "mono_fps_640x480_1000feat": round(mono_fps, 2),
+                    "mono_vs_baseline": round(
+                        mono_fps / BASELINE_FPS_MONO, 2
+                    ),
+                },
             }
         )
     )

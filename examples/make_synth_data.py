@@ -102,6 +102,10 @@ def gen_kitti(args) -> int:
         f.write("ORBextractor.iniThFAST: 20\nORBextractor.minThFAST: 7\n")
         f.write(f"Map.maxKeyFrames: {args.max_keyframes}\n")
         f.write(f"Map.maxPoints: {args.max_points}\n")
+        # dense stereo maps: 2000 feats x 16 covisible KFs exceeds the
+        # 4096-point default local-BA window (VERDICT round 1)
+        f.write("Tracker.localPtCap: 8192\n")
+        f.write("Tracker.baPtCap: 8192\n")
         _tracker_overrides(f, close_pts=True)
     print(f"dataset at {d} (settings: {yaml})")
     return 0

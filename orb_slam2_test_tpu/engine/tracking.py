@@ -426,6 +426,7 @@ class Tracker:
         self._ref_Tcw_host = None  # host cache of kf_Tcw[ref_kf]
         self.frames_since_kf = 0
         self.frame_id = 0
+        self.last_diag = {}  # per-frame match/inlier counts (host)
         self.n_live_kf = 0  # host mirror of live keyframe slots
         self._warned_kf_capacity = False
         self._pending_kf = None  # deferred (kf, culled) device scalars
@@ -851,6 +852,11 @@ class Tracker:
             (n_m, n_inl_m, Tcw_m, vw0, vkf0, n_inl_l, Tcw_l, ref_Tcw,
              n_tc, n_uc)
         )
+        self.last_diag = {
+            "n_motion_matches": int(n_m),
+            "n_motion_inliers": int(n_inl_m),
+            "n_local_inliers": int(n_inl_l),
+        }
         if int(n_m) < self.cfg.min_track_matches or int(n_inl_m) < 10:
             return False, False
         # motion model accepted (Tracking::TrackWithMotionModel true)
@@ -933,6 +939,7 @@ class Tracker:
         cands = self.loop_closer.db.detect_reloc_candidates(
             np.asarray(words)
         )
+        self.last_diag = {"reloc_candidates": len(cands)}
         if not cands:
             return False
         ok, Tcw, feat_pt, self.key = relocalize(
@@ -940,6 +947,7 @@ class Tracker:
             self.cap.level_sigma2,
             min_inliers=self.cfg.min_local_inliers,
         )
+        self.last_diag["reloc_ok"] = bool(ok)
         if not ok:
             return False
         self._prev_Tcw = Tcw

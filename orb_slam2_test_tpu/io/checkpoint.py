@@ -59,7 +59,16 @@ def load_map(path: str) -> tuple[MapState, MapCapacity, dict]:
 def save_tracker(path: str, tracker) -> None:
     """Checkpoint a full Tracker: map + host state + trajectory."""
     tracker.flush_backend()  # resolve any deferred keyframe pipeline
+    cam = tracker.cam
     meta = {
+        "camera": {
+            "fx": float(cam.fx), "fy": float(cam.fy),
+            "cx": float(cam.cx), "cy": float(cam.cy),
+            "k1": float(cam.k1), "k2": float(cam.k2),
+            "p1": float(cam.p1), "p2": float(cam.p2),
+            "k3": float(cam.k3), "bf": float(cam.bf),
+            "width": int(cam.width), "height": int(cam.height),
+        },
         "state": tracker.state,
         "ref_kf": int(tracker.ref_kf),
         "ref_kf_tracked": int(tracker.ref_kf_tracked),

@@ -112,6 +112,7 @@ class SlamSettings:
     min_init_triangulated: Optional[int] = None
     min_track_matches: Optional[int] = None
     min_local_inliers: Optional[int] = None
+    min_depth_init_points: Optional[int] = None
     n_triangulate_neighbors: Optional[int] = None
     ba_fixed_cap: Optional[int] = None
     max_frames_between_kf: Optional[int] = None
@@ -148,8 +149,8 @@ class SlamSettings:
         for f in (
             "min_init_matches", "min_init_triangulated",
             "min_track_matches", "min_local_inliers",
-            "n_triangulate_neighbors", "ba_fixed_cap",
-            "max_frames_between_kf",
+            "min_depth_init_points", "n_triangulate_neighbors",
+            "ba_fixed_cap", "max_frames_between_kf",
         ):
             v = getattr(self, f)
             if v is not None:
@@ -192,6 +193,7 @@ _KEYMAP = {
     "Tracker.minInitTriangulated": "min_init_triangulated",
     "Tracker.minTrackMatches": "min_track_matches",
     "Tracker.minLocalInliers": "min_local_inliers",
+    "Tracker.minDepthInitPoints": "min_depth_init_points",
     "Tracker.nTriangulateNeighbors": "n_triangulate_neighbors",
     "Tracker.baFixedCap": "ba_fixed_cap",
     "Tracker.maxFramesBetweenKF": "max_frames_between_kf",

@@ -50,18 +50,43 @@ def _landmark_patches(n: int, seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed)
     size = 2 * _PATCH_R + 1
     pat = rng.uniform(0.0, 255.0, size=(n, size, size)).astype(np.float32)
-    # mild smoothing for subpixel stability (3x3 box, applied twice)
-    for _ in range(2):
+    # Texture model tuned for ORB stability under viewpoint change
+    # (measured on true-correspondence pairs; per-texel white noise
+    # flips ~100/256 BRIEF bits across a 2-degree view change and
+    # IC_Angle jitters by ~15-30 degrees, killing long-sequence
+    # tracking):
+    # 1) heavy smoothing (8x 3x3 box ~ Gaussian sigma 2.3 texels) for
+    #    sub-pixel stability,
+    # 2) median-threshold to TWO TONES — BRIEF then compares large
+    #    uniform regions whose comparisons survive moderate affine
+    #    warps, like the edge/corner structure of real images,
+    # 3) an additive dominant-direction ramp to pin the intensity
+    #    centroid (stable IC_Angle -> stable steered BRIEF).
+    for _ in range(8):
         p = np.pad(pat, ((0, 0), (1, 1), (1, 1)), mode="edge")
         pat = (
             p[:, :-2, :-2] + p[:, :-2, 1:-1] + p[:, :-2, 2:]
             + p[:, 1:-1, :-2] + p[:, 1:-1, 1:-1] + p[:, 1:-1, 2:]
             + p[:, 2:, :-2] + p[:, 2:, 1:-1] + p[:, 2:, 2:]
         ) / 9.0
-    # radial window so the patch fades into the background
+    med = np.median(pat, axis=(1, 2), keepdims=True)
+    pat = np.where(pat > med, 255.0, 40.0).astype(np.float32)
     yy, xx = np.mgrid[-_PATCH_R : _PATCH_R + 1, -_PATCH_R : _PATCH_R + 1]
+    phi = rng.uniform(0.0, 2.0 * np.pi, size=n)
+    ramp = 0.5 + 0.5 * (
+        np.cos(phi)[:, None, None] * xx + np.sin(phi)[:, None, None] * yy
+    ) / _PATCH_R
+    pat = pat * 0.75 + 255.0 * 0.25 * ramp
+    # one antialias pass over the hard two-tone edges
+    p = np.pad(pat, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    pat = (
+        p[:, :-2, :-2] + p[:, :-2, 1:-1] + p[:, :-2, 2:]
+        + p[:, 1:-1, :-2] + p[:, 1:-1, 1:-1] + p[:, 1:-1, 2:]
+        + p[:, 2:, :-2] + p[:, 2:, 1:-1] + p[:, 2:, 2:]
+    ) / 9.0
+    # radial window so the patch fades into the background
     wnd = np.clip(1.3 - np.sqrt(yy**2 + xx**2) / _PATCH_R, 0.0, 1.0)
-    return pat * wnd[None]
+    return (pat * wnd[None]).astype(np.float32)
 
 
 def render_frame(
@@ -247,12 +272,36 @@ def make_loop_scene(
     landmarks = np.stack(
         [r * np.cos(th), y, r * np.sin(th)], axis=1
     ).astype(np.float32)
-    # quad normal: radially toward the path
-    radial = np.stack(
-        [np.cos(th), np.zeros_like(th), np.sin(th)], axis=1
+    # quad normal: face the point on the path from which the quad is
+    # typically SEEN — ~20 degrees of arc behind its own angular
+    # position (the camera travels counter-clockwise looking along the
+    # tangent). Purely radial normals leave every quad nearly edge-on
+    # to the camera, which smears the texture with viewpoint and makes
+    # descriptors decay as the camera advances.
+    th_view = th - 0.35
+    viewpoint = np.stack(
+        [
+            radius * np.cos(th_view),
+            np.zeros_like(th_view),
+            radius * np.sin(th_view),
+        ],
+        axis=1,
     )
-    normals = (-side[:, None] * radial).astype(np.float32)
-    ref_dist = np.sqrt(off**2 + y**2).astype(np.float32)
+    normals = viewpoint - landmarks
+    normals = (
+        normals / np.maximum(np.linalg.norm(normals, axis=1, keepdims=True), 1e-6)
+    ).astype(np.float32)
+    # multi-scale quads: log-uniform size spread so corners appear
+    # across the pyramid octaves (all-1px-texel quads put every feature
+    # at level 0, whose scale-invariance distance band [max/3.6, 1.2max]
+    # is the tightest — a receding camera sheds such points after a 20%
+    # distance change, which no real scene does uniformly)
+    size_mult = np.exp(
+        rng.uniform(np.log(1.0), np.log(5.0), size=n_landmarks)
+    )
+    ref_dist = (
+        np.linalg.norm(viewpoint - landmarks, axis=1) * size_mult
+    ).astype(np.float32)
     intensities = rng.uniform(120.0, 255.0, size=n_landmarks).astype(
         np.float32
     )
