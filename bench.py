@@ -79,6 +79,7 @@ def _bench_map(cfg: TrackerConfig, n_kf: int, n_pt: int, seed: int = 0):
     Tcw = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
     Tcw[:, 0, 3] = rng.uniform(-0.5, 0.5, K)
     Tcw[:, 2, 3] = rng.uniform(-0.5, 0.5, K)
+    Tcw[0] = np.eye(4)  # chain anchor: pred = vel @ I @ kf_Tcw[0]
     xyz = np.stack(
         [
             rng.uniform(-20, 20, P),
@@ -152,7 +153,7 @@ def _kitti_chain(n_steps: int, with_kf: bool):
                 scale_factor=cfg.scale_factor,
             )
             outs = _track_frame_device(
-                cam, cfg, m, frame, T, feat,
+                cam, cfg, m, frame, T, jnp.eye(4), feat,
                 jnp.asarray(0, jnp.int32), cd,
             )
             Tcw_l, new_feat = outs[5], outs[7]

@@ -259,14 +259,22 @@ _local_map_step_device = functools.partial(
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
-def _track_frame_device(cam, cfg, m, frame, pred, last_feat_pt, ref_kf,
-                        close_depth):
+def _track_frame_device(cam, cfg, m, frame, vel, T_cr, last_feat_pt,
+                        ref_kf, close_depth):
     """The whole happy-path frame: motion-model tracking -> local-map
     tracking -> keyframe-decision statistics, ONE device program with
     ONE host sync per frame. When the motion model fails its gates the
     host discards the speculative local-map result and falls back to
     reference-KF tracking (rare — the reference's flow, Tracking::Track).
+
+    The motion prediction is RE-ANCHORED to the current (BA-corrected)
+    reference-keyframe pose: pred = vel @ T_cr @ kf_Tcw[ref_kf]
+    (reference Tracking::UpdateLastFrame — without this, every local BA
+    shifts the map away from the raw tracked-pose chain; the projection
+    matches alias and pose optimization rejects them, which killed
+    long sequences at high keyframe cadence).
     """
+    pred = vel @ T_cr @ m.kf_Tcw[ref_kf]
     n_m, Tcw_m, n_inl_m, feat_m = _motion_body(
         cam, cfg, m, frame, pred, last_feat_pt
     )
@@ -277,7 +285,7 @@ def _track_frame_device(cam, cfg, m, frame, pred, last_feat_pt, ref_kf,
     n_tc, n_uc = _close_counts_body(
         frame.depth, frame.valid, new_feat, close_depth
     )
-    return (n_m, n_inl_m, Tcw_m) + local + (n_tc, n_uc)
+    return (n_m, n_inl_m, Tcw_m) + local + (n_tc, n_uc, pred)
 
 
 def _close_counts_body(depth, valid, feat_pt, close_depth):
@@ -427,6 +435,9 @@ class Tracker:
         self.frames_since_kf = 0
         self.frame_id = 0
         self.last_diag = {}  # per-frame match/inlier counts (host)
+        # last tracked frame's pose relative to its reference keyframe
+        # (host 4x4) — the motion model re-anchors through it
+        self._T_cr_last = None
         self.n_live_kf = 0  # host mirror of live keyframe slots
         self._warned_kf_capacity = False
         self._pending_kf = None  # deferred (kf, culled) device scalars
@@ -610,6 +621,7 @@ class Tracker:
         self._warned_kf_capacity = False
         self._pending_kf = None
         self._ref_is_new_kf = False
+        self._T_cr_last = None
         self.trajectory = []
         self.rel_trajectory = []
         self.stats = {"n_kf": 0, "reloc": 0, "lost_frames": 0, "loops": 0}
@@ -766,6 +778,7 @@ class Tracker:
         self.stats["n_kf"] = 2
         self.n_live_kf = 2
         self.last_feat_pt = row1
+        self._T_cr_last = np.eye(4)
         self.velocity = None
 
     def _initialize_with_depth(self, frame: FrameData) -> bool:
@@ -803,6 +816,7 @@ class Tracker:
         self.stats["n_kf"] = 1
         self.n_live_kf = 1
         self.last_feat_pt = row
+        self._T_cr_last = np.eye(4)
         self.last_Tcw = np.eye(4)
         self._prev_Tcw = np.eye(4)
         self.velocity = None
@@ -837,25 +851,40 @@ class Tracker:
         (the speculative local-map output is discarded, matching the
         sequential reference flow).
         """
-        pred = jnp.asarray(self.velocity @ self.last_Tcw)
+        # reference Tracking::UpdateLastFrame: the last frame's pose is
+        # re-expressed against the CURRENT reference-keyframe pose (the
+        # device program composes T_cr @ kf_Tcw[ref_kf]); T_cr is the
+        # relative pose captured when the frame was tracked
+        T_cr = self._T_cr_last
+        if T_cr is None:
+            T_cr = (
+                self.last_Tcw @ np.linalg.inv(self._ref_Tcw_host)
+                if self._ref_Tcw_host is not None
+                else np.eye(4)
+            )
         cd = jnp.asarray(
             self.close_depth if self.close_depth is not None else 0.0,
             jnp.float32,
         )
         (n_m, n_inl_m, Tcw_m, vw0, vkf0, Tcw_l, n_inl_l, new_feat, vis,
-         ref_Tcw, n_tc, n_uc) = _track_frame_device(
-            self.cam, self.cfg, self.map, frame, pred, self.last_feat_pt,
+         ref_Tcw, n_tc, n_uc, pred_used) = _track_frame_device(
+            self.cam, self.cfg, self.map, frame,
+            jnp.asarray(self.velocity), jnp.asarray(T_cr),
+            self.last_feat_pt,
             jnp.asarray(self.ref_kf, jnp.int32), cd,
         )
         (n_m, n_inl_m, Tcw_m, vw0, vkf0, n_inl_l, Tcw_np, ref_np,
-         n_tc, n_uc) = jax.device_get(
+         n_tc, n_uc, pred_np) = jax.device_get(
             (n_m, n_inl_m, Tcw_m, vw0, vkf0, n_inl_l, Tcw_l, ref_Tcw,
-             n_tc, n_uc)
+             n_tc, n_uc, pred_used)
         )
         self.last_diag = {
             "n_motion_matches": int(n_m),
             "n_motion_inliers": int(n_inl_m),
             "n_local_inliers": int(n_inl_l),
+            "pred_Tcw": np.asarray(pred_np),
+            "motion_Tcw": np.asarray(Tcw_m),
+            "local_Tcw": np.asarray(Tcw_np),
         }
         if int(n_m) < self.cfg.min_track_matches or int(n_inl_m) < 10:
             return False, False
@@ -869,6 +898,7 @@ class Tracker:
         if n_inl_l < self.cfg.min_local_inliers:
             return True, False  # local map rejected -> LOST
         self.last_Tcw = np.asarray(Tcw_np)
+        self._T_cr_last = self.last_Tcw @ np.linalg.inv(self._ref_Tcw_host)
         self.cur_feat_pt = new_feat
         self.n_tracked = n_inl_l
         m = self.map
@@ -918,6 +948,7 @@ class Tracker:
         if n_inl < self.cfg.min_local_inliers:
             return False
         self.last_Tcw = np.asarray(Tcw_np)
+        self._T_cr_last = self.last_Tcw @ np.linalg.inv(self._ref_Tcw_host)
         self.cur_feat_pt = new_feat
         self.n_tracked = n_inl
 
@@ -1037,6 +1068,7 @@ class Tracker:
         self.n_live_kf += 1
         self.stats["n_kf"] += 1
         self.ref_kf = kf  # device scalar until flushed
+        self._T_cr_last = np.eye(4)  # ref KF created at this very pose
         self._ref_is_new_kf = True
         self.ref_kf_tracked = self.n_tracked
         self.frames_since_kf = 0
