@@ -51,6 +51,9 @@ def common_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--device-trace", default=None, metavar="DIR",
                    help="capture an XLA device trace of frames 20-40 "
                         "into DIR (TensorBoard/Perfetto)")
+    p.add_argument("--diag", default=None, metavar="FILE",
+                   help="write per-frame diagnostics (state, match/"
+                        "inlier counts, map occupancy) as JSONL")
     return p
 
 
@@ -67,6 +70,9 @@ def run(system: System, seq: Sequence, args) -> int:
     trace_ctx = None
 
     print(f"Processing {n} frames ({seq.kind}) ...")
+    diag_rows: list = []
+    diag_prev_state = system.tracking_state
+    diag_fh = open(args.diag, "w") if args.diag is not None else None
     t_start = time.time()
     for i, it in enumerate(seq.items[:n]):
         if getattr(args, "device_trace", None):
@@ -84,6 +90,33 @@ def run(system: System, seq: Sequence, args) -> int:
             system.track_stereo(data[1], data[2], data[0])
         else:
             system.track_rgbd(data[1], data[2], data[0])
+        if args.diag is not None:
+            import json
+
+            tr = system.tracker
+            rec = {"frame": i, "state": system.tracking_state,
+                   "n_kf": tr.stats["n_kf"], "n_live_kf": tr.n_live_kf,
+                   "cap_kf": tr.cfg.max_keyframes,
+                   "cap_pt": tr.cfg.max_points}
+            for k, v in tr.last_diag.items():
+                if isinstance(v, (int, float, bool)):
+                    rec[k] = v
+            ld = tr.last_diag
+            if "pred_Tcw" in ld and "local_Tcw" in ld:
+                def _c(T):
+                    return -T[:3, :3].T @ T[:3, 3]
+
+                rec["pred_err_m"] = float(
+                    np.linalg.norm(_c(ld["pred_Tcw"]) - _c(ld["local_Tcw"]))
+                )
+            diag_rows.append(rec)
+            diag_fh.write(json.dumps(rec) + "\n")
+            diag_fh.flush()
+            if system.tracking_state != diag_prev_state:
+                rec["n_pt"] = int(np.asarray(tr.map.n_pt))
+                print(f"  [diag] frame {i}: {diag_prev_state} -> "
+                      f"{system.tracking_state}  {rec}", flush=True)
+                diag_prev_state = system.tracking_state
         if (i + 1) % 50 == 0:
             st = system.timing_stats()
             print(
@@ -94,6 +127,9 @@ def run(system: System, seq: Sequence, args) -> int:
     wall = time.time() - t_start
     if trace_ctx is not None:
         trace_ctx.__exit__(None, None, None)
+    if diag_fh is not None:
+        diag_fh.close()
+        print(f"diagnostics written to {args.diag}")
     system.shutdown()
     if getattr(args, "profile", False):
         print("-" * 60)

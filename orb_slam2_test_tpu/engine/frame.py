@@ -14,6 +14,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from orb_slam2_test_tpu.utils.precision import f32_matmuls
 
 from orb_slam2_test_tpu.geometry.camera import PinholeCamera, undistort_points
 from orb_slam2_test_tpu.ops.extractor import Features, extract_orb
@@ -44,6 +45,7 @@ class FrameData(NamedTuple):
     timestamp: jax.Array
 
 
+@f32_matmuls
 @functools.partial(
     jax.jit, static_argnames=("cam", "n_features", "n_levels", "scale_factor")
 )
@@ -75,6 +77,7 @@ def build_frame_mono(
     )
 
 
+@f32_matmuls
 @functools.partial(
     jax.jit,
     static_argnames=("cam", "n_features", "n_levels", "scale_factor"),
@@ -122,6 +125,7 @@ def build_frame_stereo(
     )
 
 
+@f32_matmuls
 @functools.partial(
     jax.jit,
     static_argnames=("cam", "n_features", "n_levels", "scale_factor"),

@@ -41,7 +41,7 @@ from orb_slam2_test_tpu.engine.local_mapping import (
     cull_points,
     fuse_with_neighbor,
     run_local_ba,
-    triangulate_with_neighbor,
+    triangulate_with_neighbors,
 )
 from orb_slam2_test_tpu.slam_map.mapstate import (
     MapCapacity,
@@ -54,6 +54,7 @@ from orb_slam2_test_tpu.slam_map.covisibility import assign_parent, best_covisib
 from orb_slam2_test_tpu.solvers.initializer import initialize_mono
 from orb_slam2_test_tpu.solvers.pose_opt import pose_optimization
 from orb_slam2_test_tpu.utils.profiling import profiler
+from orb_slam2_test_tpu.utils.precision import f32_matmuls
 
 
 @dataclasses.dataclass(frozen=True)
@@ -91,6 +92,7 @@ class TrackerConfig:
     kf_close_untracked_min: int = 70
     enable_fuse: bool = True  # SearchInNeighbors duplicate fusion
     enable_kf_culling: bool = True  # KeyFrameCulling
+    enable_local_ba: bool = True  # covisibility-local BA per keyframe
     # overlap the keyframe pipeline with tracking: defer the host sync
     # of the insertion program until the next keyframe decision
     # (reference: LocalMapping/LoopClosing run in their own pthreads)
@@ -253,11 +255,12 @@ def _local_map_body(cam, cfg, m, frame, Tcw, cur_feat_pt, ref_kf):
     return vw[0], vkf[0], res.Tcw, res.n_inliers, new_feat, vis, ref_Tcw
 
 
-_local_map_step_device = functools.partial(
+_local_map_step_device = f32_matmuls(functools.partial(
     jax.jit, static_argnames=("cam", "cfg")
-)(_local_map_body)
+)(_local_map_body))
 
 
+@f32_matmuls
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
 def _track_frame_device(cam, cfg, m, frame, vel, T_cr, last_feat_pt,
                         ref_kf, close_depth):
@@ -339,6 +342,7 @@ def _add_depth_points_body(cam, cfg, m, frame, kf_i, close_depth,
     return m._replace(kf_pt_idx=m.kf_pt_idx.at[kf_i].set(row))
 
 
+@f32_matmuls
 @functools.partial(
     jax.jit, static_argnames=("cam", "cfg", "use_depth", "close_gate")
 )
@@ -376,9 +380,11 @@ def _grow_map_device(cam, cfg, m, frame, Tcw, feat_pt, timestamp,
         )
 
     ids, _w = best_covisible(m, kf, cfg.n_triangulate_neighbors)
-    for k in range(cfg.n_triangulate_neighbors):  # static unroll;
-        # triangulate/fuse no-op internally when ids[k] < 0
-        m, _ = triangulate_with_neighbor(m, cam, kf, ids[k], cap)
+    # all neighbors triangulated in ONE batched program (one free-slot
+    # allocation instead of one per neighbor)
+    m, _ = triangulate_with_neighbors(
+        m, cam, kf, ids, cap, cfg.n_triangulate_neighbors
+    )
     if cfg.enable_fuse:
         for k in range(cfg.n_triangulate_neighbors):
             m, _ = fuse_with_neighbor(m, cam, kf, ids[k])
@@ -392,7 +398,8 @@ def _grow_map_device(cam, cfg, m, frame, Tcw, feat_pt, timestamp,
         m, scale_factor=cfg.scale_factor, n_levels=cfg.n_levels
     )
     m = cull_points(m, kf)
-    m = run_local_ba(m, cam, kf, cap, cfg.ba_caps)
+    if cfg.enable_local_ba:
+        m = run_local_ba(m, cam, kf, cap, cfg.ba_caps)
     if cfg.enable_kf_culling:
         m, culled = cull_keyframes(m, kf, n_levels=cfg.n_levels)
     else:
@@ -652,6 +659,7 @@ class Tracker:
         loop-corrected, and frames whose reference keyframe was culled
         climb the spanning tree to a live ancestor (reference
         System::SaveTrajectoryTUM semantics)."""
+        self.drain_backend()
         m = self.map
         kf_Tcw = np.asarray(m.kf_Tcw)
         kf_valid = np.asarray(m.kf_valid)
@@ -668,7 +676,7 @@ class Tracker:
     def export_keyframe_trajectory(self) -> list:
         """[(timestamp, Tcw)] of live keyframes, ordered by frame id
         (reference System::SaveKeyFrameTrajectoryTUM)."""
-        self.flush_backend()
+        self.drain_backend()
         m = self.map
         valid = np.nonzero(np.asarray(m.kf_valid))[0]
         fids = np.asarray(m.kf_frame_id)[valid]
@@ -1024,22 +1032,19 @@ class Tracker:
         # cull bookkeeping) before growing the map again — keyframes
         # reach the place-recognition database in insertion order
         self.flush_backend()
-        # host-side capacity gate (reference has no cap — heap-allocated
-        # keyframes; here slots are static). Refusing insertion keeps
-        # tracking alive on the existing map; culling frees slots over
-        # time. n_live_kf is a host mirror so no device sync is needed.
-        if self.n_live_kf >= self.cfg.max_keyframes:
-            if not self._warned_kf_capacity:
-                import warnings
-
-                warnings.warn(
-                    "keyframe capacity reached "
-                    f"({self.cfg.max_keyframes}); refusing new keyframes "
-                    "until culling frees slots. Raise max_keyframes for "
-                    "this sequence length."
-                )
-                self._warned_kf_capacity = True
-            return
+        # capacity management (the reference heap-allocates keyframes
+        # and points — Map.cc is unbounded; here shapes are static):
+        # when near-full, first run a standalone cull pass (the
+        # in-pipeline cull only runs on insertion, so without this the
+        # map could never free slots at capacity), then grow capacity
+        # 2x and recompile — rare, amortized O(log sequence length).
+        if self.n_live_kf >= self.cfg.max_keyframes - 1:
+            self._cull_standalone()
+        if self.n_live_kf >= self.cfg.max_keyframes - 1:
+            self._grow_capacity(max_keyframes=2 * self.cfg.max_keyframes)
+        n_pt_live = int(jax.device_get(self.map.n_pt))
+        if n_pt_live >= int(0.85 * self.cfg.max_points):
+            self._grow_capacity(max_points=2 * self.cfg.max_points)
 
         # the whole insertion pipeline (add KF + parent + depth points +
         # triangulation + fusion + maintenance + local BA + culling) is
@@ -1080,6 +1085,42 @@ class Tracker:
         if not self.cfg.async_backend:
             self.flush_backend()
 
+    def _cull_standalone(self) -> None:
+        """Cull one redundant keyframe outside the insertion pipeline
+        (used when the map is at capacity — the in-pipeline
+        KeyFrameCulling only runs on insertion)."""
+        if not self.cfg.enable_kf_culling or self.n_live_kf < 3:
+            return
+        m, culled = cull_keyframes(
+            self.map,
+            jnp.asarray(int(self.ref_kf), jnp.int32),
+            n_levels=self.cfg.n_levels,
+        )
+        culled = int(jax.device_get(culled))
+        if culled < 0:
+            return
+        self.map = m
+        self.n_live_kf -= 1
+        if self.loop_closer is not None:
+            self.loop_closer.db.erase(culled)
+
+    def _grow_capacity(self, max_keyframes: int | None = None,
+                       max_points: int | None = None) -> None:
+        """Grow the map's static capacities (power-of-two re-bucketing;
+        downstream jitted programs recompile for the new shapes). The
+        reference's unbounded heap map (Map.cc) maps to this amortized
+        growth under XLA's static-shape model."""
+        from orb_slam2_test_tpu.slam_map.mapstate import grow_map
+
+        old_cap = self.cap
+        self.cfg = dataclasses.replace(
+            self.cfg,
+            max_keyframes=max_keyframes or self.cfg.max_keyframes,
+            max_points=max_points or self.cfg.max_points,
+        )
+        self.cap = self.cfg.map_capacity
+        self.map = grow_map(self.map, old_cap, self.cap)
+
     def flush_backend(self) -> None:
         """Resolve the deferred keyframe pipeline: sync the (kf, culled)
         scalars of the last insertion, apply cull bookkeeping, and run
@@ -1113,20 +1154,39 @@ class Tracker:
         if isinstance(self.ref_kf, jax.Array):
             self.ref_kf = int(self.ref_kf)
         if self.loop_closer is not None:
+            # advance a pending chunked global BA by ONE chunk before
+            # this keyframe's loop detection (a detected loop aborts
+            # the remaining chunks — reference mbStopGBA)
+            self.map, _ = self.loop_closer.advance_global_ba(self.map)
             m_before = self.map
             m, closed = self.loop_closer.on_new_keyframe(m_before, kf)
             if closed:
                 self.stats["loops"] += 1
                 # keyframe poses moved while tracking continued: carry
-                # the tracked pose through the same correction the
-                # keyframe received (T_new = Tkf_new Tkf_old^-1 T_old),
-                # then drop the motion model (reference Tracking falls
-                # back to TrackReferenceKeyFrame after a loop)
-                T_corr = np.asarray(
-                    m.kf_Tcw[kf] @ se3_inverse(m_before.kf_Tcw[kf])
+                # the tracked pose so its pose RELATIVE to the moved
+                # keyframe is preserved (T_cr = last @ inv(kf_old) is
+                # invariant): last' = T_cr @ kf_new = last @ inv(kf_old)
+                # @ kf_new. Matches the reference's re-anchoring
+                # (Tracking::UpdateLastFrame, Tlr * pRef->GetPose()) and
+                # this tracker's own motion-model re-anchor. Then drop
+                # the motion model (reference Tracking falls back to
+                # TrackReferenceKeyFrame after a loop).
+                self.last_Tcw = self.last_Tcw @ np.asarray(
+                    se3_inverse(m_before.kf_Tcw[kf]) @ m.kf_Tcw[kf]
                 )
-                self.last_Tcw = T_corr @ self.last_Tcw
                 self.velocity = None
                 self._ref_Tcw_host = None
             self.map = m
+
+    def drain_backend(self) -> None:
+        """Resolve the deferred keyframe pipeline AND run any pending
+        global-BA chunks to completion (used before export/checkpoint;
+        the reference's Shutdown spins until !isRunningGBA())."""
+        self.flush_backend()
+        if self.loop_closer is not None:
+            done = False
+            while not done:
+                self.map, done = self.loop_closer.advance_global_ba(
+                    self.map
+                )
 

@@ -58,7 +58,7 @@ def load_map(path: str) -> tuple[MapState, MapCapacity, dict]:
 
 def save_tracker(path: str, tracker) -> None:
     """Checkpoint a full Tracker: map + host state + trajectory."""
-    tracker.flush_backend()  # resolve any deferred keyframe pipeline
+    tracker.drain_backend()  # keyframe pipeline + pending GBA chunks
     cam = tracker.cam
     meta = {
         "camera": {
@@ -93,9 +93,31 @@ def load_tracker(path: str, tracker) -> None:
     capacities (enforced)."""
     m, cap, meta = load_map(path)
     if cap != tracker.cap:
-        raise ValueError(
-            f"checkpoint capacity {cap} != tracker capacity {tracker.cap}"
+        # capacities may differ because maps grow at runtime
+        # (power-of-two re-bucketing, mapstate.grow_map). Adopt the
+        # elementwise-max capacity; only the feature/pyramid geometry
+        # must match exactly.
+        import dataclasses
+
+        from orb_slam2_test_tpu.slam_map.mapstate import grow_map
+
+        if (
+            cap.max_features != tracker.cap.max_features
+            or cap.n_levels != tracker.cap.n_levels
+            or cap.scale_factor != tracker.cap.scale_factor
+        ):
+            raise ValueError(
+                f"checkpoint capacity {cap} incompatible with tracker "
+                f"capacity {tracker.cap} (feature/pyramid geometry)"
+            )
+        tracker.cfg = dataclasses.replace(
+            tracker.cfg,
+            max_keyframes=max(cap.max_keyframes, tracker.cap.max_keyframes),
+            max_points=max(cap.max_points, tracker.cap.max_points),
         )
+        tracker.cap = tracker.cfg.map_capacity
+        if cap != tracker.cap:
+            m = grow_map(m, cap, tracker.cap)
     tracker.map = m
     tracker.n_live_kf = int(np.sum(np.asarray(m.kf_valid)))
     tracker.state = meta["state"]
@@ -118,6 +140,15 @@ def load_tracker(path: str, tracker) -> None:
     tracker.last_frame = None
     tracker.last_feat_pt = None
     tracker.cur_feat_pt = None
+    # deferred-backend state belongs to the PREVIOUS map: a pending
+    # (kf, culled) pair or a stale relative-pose anchor must not be
+    # flushed against the restored one (wrong DB erase / loop-closing
+    # target, mis-anchored first motion prediction)
+    tracker._pending_kf = None
+    tracker._T_cr_last = None
+    tracker._ref_is_new_kf = False
+    tracker._ref_Tcw_host = None
+    tracker._warned_kf_capacity = False
     # the keyframe database must be rebuilt from the restored map when
     # place recognition is enabled (BoW word lists are derivable state)
     if tracker.loop_closer is not None:

@@ -116,6 +116,7 @@ class SlamSettings:
     n_triangulate_neighbors: Optional[int] = None
     ba_fixed_cap: Optional[int] = None
     max_frames_between_kf: Optional[int] = None
+    enable_local_ba: Optional[int] = None  # 0/1 (debug/ablation switch)
 
     extra: dict = dataclasses.field(default_factory=dict)
 
@@ -155,6 +156,8 @@ class SlamSettings:
             v = getattr(self, f)
             if v is not None:
                 kw[f] = int(v)
+        if self.enable_local_ba is not None:
+            kw["enable_local_ba"] = bool(int(self.enable_local_ba))
         kw.update(overrides)
         return TrackerConfig(**kw)
 
@@ -197,6 +200,7 @@ _KEYMAP = {
     "Tracker.nTriangulateNeighbors": "n_triangulate_neighbors",
     "Tracker.baFixedCap": "ba_fixed_cap",
     "Tracker.maxFramesBetweenKF": "max_frames_between_kf",
+    "Tracker.enableLocalBA": "enable_local_ba",
 }
 
 _INT_FIELDS = {

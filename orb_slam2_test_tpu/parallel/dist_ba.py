@@ -9,20 +9,27 @@ scaling-book recipe (mesh -> shardings -> collectives over ICI):
   owns a contiguous slice of map points and ALL observations of those
   points. Cameras (a few thousand 4x4 poses at most) are replicated.
 - One LM iteration under shard_map("ba" axis):
-    local:   linearize owned observations; Hpp, bp, Y = W Hpp^-1,
-             back-substitution for owned points — no communication.
-    psum:    Hcc, bc, and the Schur-reduced camera system
-             S = Hcc - sum_q W_q Hpp_q^-1 W_q^T, rhs — one all-reduce
-             of [C,6,6]+[C,C,6,6]+[C,6] per iteration over ICI.
-    replicated: dense Cholesky solve of S (identical on every device).
+    local:   linearize owned observations; Hpp, bp, per-observation
+             cross blocks Wcp [O_local, 6, 3], Hpp^-1, point
+             back-substitution — no communication, O(local obs).
+    psum:    Hcc [C,6,6], bc [C,6], the reduced rhs [C,6], and ONE
+             [C,6] vector per CG iteration (the implicit-Schur matvec
+             S v = Hcc v - W Hpp^-1 W^T v evaluated through local
+             segment-sums then psum'd) — never a [Q,C] or [C,C]
+             materialization.
+    replicated: the CG state ([C,6] vectors + scalars) is identical on
+             every device, so control flow needs no extra collectives.
 - The LM accept/reject cost is a psum'd scalar, so control flow stays
   identical on all devices.
 
-This mirrors exactly what g2o's Schur solver does on one CPU thread,
-re-expressed so the expensive parts (linearization, block products,
-point back-substitution) scale linearly with devices and the only
-synchronization is the reduced camera system — the SLAM analog of
-data-parallel gradient psum.
+This is the same implicit-Schur PCG as ba_core._schur_step_cg (the
+global-BA path), distributed: per-device work is O(local observations)
+and the communication volume is O(C) per CG iteration — independent of
+the point count — so adding devices divides the dominant cost. The
+round-2 version materialized Wqc [Q, C, 6, 3] and computed the dense
+reduced system via an O(Q*C^2) einsum per iteration, which made
+per-device work GROW with total camera count (measured 0.13 strong-
+scaling efficiency at 8 devices); this rewrite removes that term.
 """
 
 from __future__ import annotations
@@ -160,25 +167,19 @@ def _cost(cam, cam_Tcw, pt_xyz, obs_cam, obs_pt, obs_uvr, obs_isig2,
     return jax.lax.psum(local, AXIS)
 
 
-def dist_bundle_adjust(
-    prob: BAProblem,
-    cam: PinholeCamera,
-    mesh: Mesh,
-    iters: int = 10,
-    lam0: float = 1e-4,
-):
-    """LM bundle adjustment with point-sharded Schur reduction.
-
-    `prob` must be pre-sharded with shard_problem(mesh.size). Returns
-    (cam_Tcw, pt_xyz, final_cost).
-    """
-    n = mesh.shape[AXIS]
-    C = prob.cam_Tcw.shape[0]
+@functools.lru_cache(maxsize=32)
+def _make_runner(mesh: Mesh, iters: int, cg_iters: int):
+    """Build (once per mesh/schedule) the compiled LM runner. Cached so
+    repeated solves reuse the jitted program — a fresh closure per call
+    would retrace AND recompile every invocation, which both wastes
+    seconds per solve and poisons scaling measurements with compile
+    time (round-2 lesson)."""
 
     def step_body(cam_arrs, cam_Tcw, cam_fixed, pt_xyz, pt_valid,
                   obs_cam, obs_pt, obs_uvr, obs_isig2, obs_valid,
                   lam, cost):
         cam = PinholeCamera(*cam_arrs)
+        C = cam_Tcw.shape[0]
         def one_iter(carry, _):
             cam_Tcw, pt_xyz, lam, cost = carry
             res, Jc, Jp, w = _local_blocks(
@@ -189,17 +190,25 @@ def dist_bundle_adjust(
             wJp = Jp * w[:, None, None]
             Qs = pt_xyz.shape[0]
 
-            Hcc = jnp.zeros((C, 6, 6)).at[obs_cam].add(
-                jnp.einsum("oki,okj->oij", Jc, wJc))
-            bc = jnp.zeros((C, 6)).at[obs_cam].add(
-                -jnp.einsum("oki,ok->oi", Jc, w[:, None] * res.r))
+            # camera system: psum of O(local obs) segment-sums
+            Hcc = jax.lax.psum(
+                jnp.zeros((C, 6, 6)).at[obs_cam].add(
+                    jnp.einsum("oki,okj->oij", Jc, wJc)), AXIS)
+            bc = jax.lax.psum(
+                jnp.zeros((C, 6)).at[obs_cam].add(
+                    -jnp.einsum("oki,ok->oi", Jc, w[:, None] * res.r)),
+                AXIS)
+            # point system: owned locally, no communication
             Hpp = jnp.zeros((Qs, 3, 3)).at[obs_pt].add(
                 jnp.einsum("oki,okj->oij", Jp, wJp))
             bp = jnp.zeros((Qs, 3)).at[obs_pt].add(
                 -jnp.einsum("oki,ok->oi", Jp, w[:, None] * res.r))
-            Wcp = jnp.einsum("oki,okj->oij", Jc, wJp)
-            Wqc = jnp.zeros((Qs, C, 6, 3)).at[obs_pt, obs_cam].add(Wcp)
+            # per-observation cross blocks — NEVER scattered to [Q, C]
+            Wcp = jnp.einsum("oki,okj->oij", Jc, wJp)  # [O, 6, 3]
 
+            dHc = lam * jnp.maximum(
+                jnp.diagonal(Hcc, axis1=-2, axis2=-1), 1e-6)
+            Hcc_d = Hcc + jax.vmap(jnp.diag)(dHc)
             dHp = lam * jnp.maximum(
                 jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-6)
             Hpp_d = Hpp + jax.vmap(jnp.diag)(dHp)
@@ -208,35 +217,60 @@ def dist_bundle_adjust(
                 seen[:, None, None], Hpp_d, jnp.eye(3)[None])
             Hpp_inv = jnp.linalg.inv(Hpp_d)
 
-            Y = jnp.einsum("qcij,qjk->qcik", Wqc, Hpp_inv)
-            S_red = jnp.einsum("qcik,qdjk->cdij", Y, Wqc)
-            rhs_red = jnp.einsum("qcik,qk->ci", Y, bp)
-
-            # --- the only communication: reduce the camera system ---
-            Hcc = jax.lax.psum(Hcc, AXIS)
-            bc = jax.lax.psum(bc, AXIS)
-            S_red = jax.lax.psum(S_red, AXIS)
-            rhs_red = jax.lax.psum(rhs_red, AXIS)
-
-            dHc = lam * jnp.maximum(
-                jnp.diagonal(Hcc, axis1=-2, axis2=-1), 1e-6)
-            Hcc_d = Hcc + jax.vmap(jnp.diag)(dHc)
-            S = -S_red
-            S = S.at[jnp.arange(C), jnp.arange(C)].add(Hcc_d)
-            rhs = bc - rhs_red
             fix = cam_fixed
-            S = jnp.where(
-                fix[:, None, None, None] | fix[None, :, None, None], 0.0, S)
-            S = S.at[jnp.arange(C), jnp.arange(C)].add(
-                jnp.where(fix[:, None, None], jnp.eye(6)[None], 0.0))
+
+            def schur_matvec(v):  # v [C, 6] replicated
+                v = jnp.where(fix[:, None], 0.0, v)
+                hv = jnp.einsum("cij,cj->ci", Hcc_d, v)
+                u = jnp.zeros((Qs, 3)).at[obs_pt].add(
+                    jnp.einsum("oji,oj->oi", Wcp, v[obs_cam]))
+                y = jnp.einsum("qij,qj->qi", Hpp_inv, u)
+                wv = jax.lax.psum(
+                    jnp.zeros((C, 6)).at[obs_cam].add(
+                        jnp.einsum("oij,oj->oi", Wcp, y[obs_pt])),
+                    AXIS)  # <- the ONLY per-CG-iteration collective
+                return jnp.where(fix[:, None], v, hv - wv)
+
+            # rhs = bc - W Hpp^-1 bp (one more [C, 6] psum)
+            yb = jnp.einsum("qij,qj->qi", Hpp_inv, bp)
+            rhs = bc - jax.lax.psum(
+                jnp.zeros((C, 6)).at[obs_cam].add(
+                    jnp.einsum("oij,oj->oi", Wcp, yb[obs_pt])), AXIS)
             rhs = jnp.where(fix[:, None], 0.0, rhs)
 
-            Sd = S.transpose(0, 2, 1, 3).reshape(C * 6, C * 6)
-            dxc = jnp.linalg.solve(Sd, rhs.reshape(C * 6)).reshape(C, 6)
-            dxc = jnp.where(jnp.all(jnp.isfinite(dxc)), dxc, 0.0)
+            # block-Jacobi preconditioner (replicated)
+            Minv = jnp.linalg.inv(Hcc_d + 1e-6 * jnp.eye(6)[None])
+            Minv = jnp.where(fix[:, None, None], jnp.eye(6)[None], Minv)
 
-            wtd = jnp.einsum("qcij,ci->qj", Wqc, dxc)
-            dxp = jnp.einsum("qij,qj->qi", Hpp_inv, bp - wtd)
+            x = jnp.zeros((C, 6))
+            r = rhs - schur_matvec(x)
+            z = jnp.einsum("cij,cj->ci", Minv, r)
+            p = z
+            rz = jnp.sum(r * z)
+
+            def cg_body(cg_carry, _):
+                x, r, p, rz = cg_carry
+                Ap = schur_matvec(p)
+                denom = jnp.sum(p * Ap)
+                alpha = rz / jnp.where(
+                    jnp.abs(denom) > 1e-20, denom, 1e-20)
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = jnp.einsum("cij,cj->ci", Minv, r)
+                rz_new = jnp.sum(r * z)
+                beta = rz_new / jnp.where(jnp.abs(rz) > 1e-20, rz, 1e-20)
+                p = z + beta * p
+                return (x, r, p, rz_new), None
+
+            (x, r, p, rz), _ = jax.lax.scan(
+                cg_body, (x, r, p, rz), None, length=cg_iters)
+            dxc = jnp.where(jnp.all(jnp.isfinite(x)), x, 0.0)
+            dxc = jnp.where(fix[:, None], 0.0, dxc)
+
+            # local point back-substitution
+            u = jnp.zeros((Qs, 3)).at[obs_pt].add(
+                jnp.einsum("oji,oj->oi", Wcp, dxc[obs_cam]))
+            dxp = jnp.einsum("qij,qj->qi", Hpp_inv, bp - u)
             dxp = jnp.where((seen & pt_valid)[:, None], dxp, 0.0)
             dxp = jnp.where(jnp.all(jnp.isfinite(dxp)), dxp, 0.0)
 
@@ -270,20 +304,34 @@ def dist_bundle_adjust(
         check_vma=False,
     )
 
-    # device_put with the right shardings so shard_map gets blocked inputs
-    cost0 = jnp.asarray(jnp.inf)
-    # intrinsics as a flat tuple of arrays (fields may be scalars or [C]
-    # arrays for multi-calibration joint BA); replicated across the mesh
-    cam_arrs = tuple(jnp.asarray(f, jnp.float32) for f in cam)
-
     @f32_matmuls
     @functools.partial(jax.jit)
-    def run(prob):
+    def run(cam_arrs, prob, lam0):
         return fn(
             cam_arrs,
             prob.cam_Tcw, prob.cam_fixed, prob.pt_xyz, prob.pt_valid,
             prob.obs_cam, prob.obs_pt, prob.obs_uvr, prob.obs_isig2,
-            prob.obs_valid, jnp.asarray(lam0), cost0,
+            prob.obs_valid, lam0, jnp.asarray(jnp.inf),
         )
 
-    return run(prob)
+    return run
+
+
+def dist_bundle_adjust(
+    prob: BAProblem,
+    cam: PinholeCamera,
+    mesh: Mesh,
+    iters: int = 10,
+    lam0: float = 1e-4,
+    cg_iters: int = 40,
+):
+    """LM bundle adjustment with point-sharded implicit-Schur PCG.
+
+    `prob` must be pre-sharded with shard_problem(mesh.size). Returns
+    (cam_Tcw, pt_xyz, final_cost).
+    """
+    run = _make_runner(mesh, iters, cg_iters)
+    # intrinsics as a flat tuple of arrays (fields may be scalars or [C]
+    # arrays for multi-calibration joint BA); replicated across the mesh
+    cam_arrs = tuple(jnp.asarray(f, jnp.float32) for f in cam)
+    return run(cam_arrs, prob, jnp.asarray(lam0, jnp.float32))

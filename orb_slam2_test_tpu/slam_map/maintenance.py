@@ -41,6 +41,7 @@ def _unpack_bits(desc: jax.Array) -> jax.Array:
     return bits.reshape(*desc.shape[:-1], 256).astype(jnp.float32)
 
 
+@f32_matmuls
 @functools.partial(jax.jit, static_argnames=("scale_factor", "n_levels"))
 def update_normals_and_depth(
     m: MapState, scale_factor: float = 1.2, n_levels: int = 8

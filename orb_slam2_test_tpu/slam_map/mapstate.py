@@ -87,8 +87,11 @@ class MapState(NamedTuple):
       pt_normal   [P, 3]    mean viewing direction
       pt_min_dist [P]       scale-invariance range (reference
       pt_max_dist [P]         MapPoint::UpdateNormalAndDepth)
-      pt_ref_kf   [P]       reference keyframe index
-      pt_first_kf [P]       keyframe at creation (MapPointCulling rule)
+      pt_ref_kf   [P]       reference keyframe index (slot)
+      pt_first_kf [P]       FRAME id of the creating keyframe
+                            (MapPointCulling age rule; frame ids are
+                            monotone across insertions, keyframe SLOTS
+                            are recycled and are not)
       pt_visible  [P]       visibility counter (IncreaseVisible)
       pt_found    [P]       found counter (IncreaseFound)
 
@@ -158,6 +161,42 @@ def make_empty_map(cap: MapCapacity) -> MapState:
         n_kf=jnp.zeros((), dtype=i32),
         n_pt=jnp.zeros((), dtype=i32),
     )
+
+
+def grow_map(m: MapState, old_cap: MapCapacity, new_cap: MapCapacity) -> MapState:
+    """Re-bucket a map into larger capacities (host-side, rare).
+
+    The reference heap-allocates keyframes/points so its map is
+    unbounded (Map.cc:~1-130); here capacities are static shapes, so
+    growth = pad every array into a fresh empty map of the new capacity
+    and recompile downstream programs (power-of-two growth keeps the
+    number of recompiles logarithmic in sequence length). All indices
+    (kf_pt_idx, kf_parent, pt_ref_kf, ...) remain valid because slots
+    keep their positions.
+    """
+    if (
+        new_cap.max_features != old_cap.max_features
+        or new_cap.n_levels != old_cap.n_levels
+        or new_cap.scale_factor != old_cap.scale_factor
+    ):
+        raise ValueError("grow_map can only grow keyframe/point capacity")
+    if (
+        new_cap.max_keyframes < old_cap.max_keyframes
+        or new_cap.max_points < old_cap.max_points
+    ):
+        raise ValueError("grow_map cannot shrink capacities")
+    K0, P0 = old_cap.max_keyframes, old_cap.max_points
+    empty = make_empty_map(new_cap)
+    out = {}
+    for f in MapState._fields:
+        v = getattr(m, f)
+        if f.startswith("kf_"):
+            out[f] = getattr(empty, f).at[:K0].set(v)
+        elif f.startswith("pt_"):
+            out[f] = getattr(empty, f).at[:P0].set(v)
+        else:  # scalars n_kf / n_pt
+            out[f] = v
+    return MapState(**out)
 
 
 # ---------------------------------------------------------------------------
@@ -271,6 +310,9 @@ def add_points(
     tgt = jnp.where(ins, slots, P)
     count = jnp.sum(ins.astype(jnp.int32))
     ref = jnp.broadcast_to(ref_kf, (B,))
+    # creation stamp = the creating keyframe's FRAME id (callers insert
+    # points only for keyframes already in the map)
+    first_stamp = m.kf_frame_id[jnp.clip(ref, 0)]
     m = m._replace(
         pt_xyz=m.pt_xyz.at[tgt].set(xyz, mode="drop"),
         pt_valid=m.pt_valid.at[tgt].set(True, mode="drop"),
@@ -279,7 +321,7 @@ def add_points(
         pt_min_dist=m.pt_min_dist.at[tgt].set(min_dist, mode="drop"),
         pt_max_dist=m.pt_max_dist.at[tgt].set(max_dist, mode="drop"),
         pt_ref_kf=m.pt_ref_kf.at[tgt].set(ref, mode="drop"),
-        pt_first_kf=m.pt_first_kf.at[tgt].set(ref, mode="drop"),
+        pt_first_kf=m.pt_first_kf.at[tgt].set(first_stamp, mode="drop"),
         pt_visible=m.pt_visible.at[tgt].set(1.0, mode="drop"),
         pt_found=m.pt_found.at[tgt].set(1.0, mode="drop"),
         n_pt=m.n_pt + count,

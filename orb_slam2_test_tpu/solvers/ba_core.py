@@ -320,6 +320,72 @@ def _apply_update(prob: BAProblem, dxc, dxp) -> BAProblem:
 
 @f32_matmuls
 @functools.partial(
+    jax.jit, static_argnames=("iters", "robust", "solver", "cg_iters")
+)
+def bundle_adjust_partial(
+    prob: BAProblem,
+    cam: PinholeCamera,
+    lam: jax.Array,
+    cost: jax.Array,
+    active: jax.Array,
+    iters: int = 4,
+    robust: bool = True,
+    solver: str = "cg",
+    cg_iters: int = 40,
+) -> tuple[BAProblem, jax.Array, jax.Array]:
+    """Run `iters` LM iterations from a carried (lam, cost) state and
+    return the updated (prob, lam, cost). This is `bundle_adjust` cut
+    into resumable chunks: the loop-closing global BA dispatches one
+    chunk per backend flush so tracking never stalls behind the full
+    schedule, and a NEW loop closure aborts by dropping the remaining
+    chunks (reference RunGlobalBundleAdjustment's detached thread +
+    mbStopGBA, Optimizer.cc:~60 / LoopClosing.cc:~600)."""
+
+    def lm_iter(carry):
+        prob, lam, cost = carry
+        if solver == "cg":
+            dxc, dxp = _schur_step_cg(prob, cam, lam, robust, active,
+                                      cg_iters)
+        else:
+            dxc, dxp = _schur_step(prob, cam, lam, robust, active)
+        cand = _apply_update(prob, dxc, dxp)
+        new_cost = _robust_cost(cand, cam, active)
+        accept = new_cost < cost
+        prob = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), cand, prob
+        )
+        lam = jnp.clip(
+            jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6
+        )
+        cost = jnp.where(accept, new_cost, cost)
+        return (prob, lam, cost)
+
+    carry = (prob, lam, cost)
+    for _ in range(iters):
+        carry = lm_iter(carry)
+    return carry
+
+
+@f32_matmuls
+@jax.jit
+def chi2_active_gate(
+    prob: BAProblem, cam: PinholeCamera
+) -> tuple[jax.Array, jax.Array]:
+    """Between-phase outlier gate: returns (active mask, cost over it)
+    — the reference's edge-removal step after the first robust LM phase
+    (chi2 5.991 mono / 7.815 stereo)."""
+    res = project_residual(
+        cam, prob.cam_Tcw[prob.obs_cam], prob.pt_xyz[prob.obs_pt],
+        prob.obs_uvr, prob.obs_isig2,
+    )
+    is_stereo = prob.obs_uvr[..., 2] >= 0.0
+    chi2_th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+    active = (res.chi2 <= chi2_th) & res.depth_ok
+    return active, _robust_cost(prob, cam, active)
+
+
+@f32_matmuls
+@functools.partial(
     jax.jit, static_argnames=("iters1", "iters2", "solver", "cg_iters")
 )
 def bundle_adjust(

@@ -21,6 +21,7 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
+from orb_slam2_test_tpu.utils.precision import f32_matmuls
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -263,6 +264,7 @@ def _make_kernel(cam: PinholeCamera, rounds: int, iters_per_round: int,
     return kernel
 
 
+@f32_matmuls
 @functools.partial(
     jax.jit, static_argnames=("cam", "rounds", "iters_per_round", "damping")
 )

@@ -166,7 +166,7 @@ class System:
     def activate_localization_mode(self):
         """Track against the frozen map; no new keyframes/points
         (reference ActivateLocalizationMode stops LocalMapping)."""
-        self.tracker.flush_backend()  # drain the keyframe pipeline
+        self.tracker.drain_backend()  # keyframe pipeline + GBA chunks
         self.tracker.localization_only = True
 
     def deactivate_localization_mode(self):
@@ -183,7 +183,7 @@ class System:
         instead)."""
         import jax
 
-        self.tracker.flush_backend()
+        self.tracker.drain_backend()
         for leaf in self.tracker.map:
             try:
                 leaf.block_until_ready()

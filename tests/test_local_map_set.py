@@ -71,10 +71,11 @@ def test_local_keyframe_point_set_k1_k2():
 
 
 @pytest.mark.slow
-def test_tracker_keyframe_capacity_guard(rng):
+def test_tracker_keyframe_capacity_growth(rng):
     """Run a synthetic sequence with a keyframe capacity too small for
-    it: the tracker must refuse insertions (with a warning), keep the
-    gauge keyframe 0 alive, and keep tracking."""
+    it: the tracker must GROW the map (power-of-two re-bucketing —
+    reference Map.cc is heap-unbounded) instead of refusing insertions,
+    keep the gauge keyframe 0 alive, and keep tracking."""
     from orb_slam2_test_tpu.utils.synthetic import (
         default_camera,
         make_sequence,
@@ -98,17 +99,18 @@ def test_tracker_keyframe_capacity_guard(rng):
         min_init_triangulated=30,
         max_frames_between_kf=2,  # aggressive insertion cadence
         min_local_inliers=20,
-        enable_kf_culling=False,  # culling must not mask the guard
+        enable_kf_culling=False,  # growth must not rely on culling
     )
     tracker = Tracker(cam, cfg)
-    with pytest.warns(UserWarning, match="keyframe capacity"):
-        for i, img in enumerate(images):
-            tracker.process_image_mono(img, float(i) / 30.0)
+    for i, img in enumerate(images):
+        tracker.process_image_mono(img, float(i) / 30.0)
 
     m = tracker.map
     assert bool(m.kf_valid[0])  # gauge anchor survived
-    assert int(m.n_kf) <= cfg.max_keyframes
-    assert tracker.n_live_kf <= cfg.max_keyframes
+    assert tracker.cfg.max_keyframes > 4  # capacity grew
+    assert m.kf_valid.shape[0] == tracker.cfg.max_keyframes
+    assert int(m.n_kf) > 4  # more keyframes than the original cap
+    assert int(m.n_kf) == tracker.n_live_kf
     assert tracker.state == "OK"
     # frame 0's keyframe data intact (timestamp of the first keyframe
     # is from the init pair, not a late overwrite)
