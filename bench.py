@@ -153,7 +153,7 @@ def _kitti_chain(n_steps: int, with_kf: bool):
                 scale_factor=cfg.scale_factor,
             )
             outs = _track_frame_device(
-                cam, cfg, m, frame, T, jnp.eye(4), feat,
+                cam, cfg, m, frame, T, jnp.eye(4), feat, frame,
                 jnp.asarray(0, jnp.int32), cd,
             )
             Tcw_l, new_feat = outs[5], outs[7]

@@ -73,8 +73,28 @@ def run(system: System, seq: Sequence, args) -> int:
     diag_rows: list = []
     diag_prev_state = system.tracking_state
     diag_fh = open(args.diag, "w") if args.diag is not None else None
+
+    # decode prefetch: image IO/PNG decode of frame i+1..i+depth runs
+    # in a worker thread while frame i tracks on the device (the
+    # reference's main loop decodes synchronously but its tracking is
+    # CPU-bound anyway; here the host is idle during device work)
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    prefetch: collections.deque = collections.deque()
+    PREFETCH_DEPTH = 3
+    items = seq.items[:n]
+    next_submit = 0
+
+    def _ensure_prefetched() -> None:
+        nonlocal next_submit
+        while len(prefetch) < PREFETCH_DEPTH and next_submit < n:
+            prefetch.append(pool.submit(seq.load, items[next_submit]))
+            next_submit += 1
+
     t_start = time.time()
-    for i, it in enumerate(seq.items[:n]):
+    for i, it in enumerate(items):
         if getattr(args, "device_trace", None):
             # trace a steady-state window, past the compile-heavy start
             if i == min(20, n // 2):
@@ -83,7 +103,8 @@ def run(system: System, seq: Sequence, args) -> int:
             elif i == min(40, n - 1) and trace_ctx is not None:
                 trace_ctx.__exit__(None, None, None)
                 trace_ctx = None
-        data = seq.load(it)
+        _ensure_prefetched()
+        data = prefetch.popleft().result()
         if seq.kind == "mono":
             system.track_monocular(data[1], data[0])
         elif seq.kind == "stereo":
@@ -125,6 +146,7 @@ def run(system: System, seq: Sequence, args) -> int:
                 f"  median={st['median_s'] * 1e3:.1f} ms"
             )
     wall = time.time() - t_start
+    pool.shutdown(wait=False)
     if trace_ctx is not None:
         trace_ctx.__exit__(None, None, None)
     if diag_fh is not None:

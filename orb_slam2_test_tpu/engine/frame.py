@@ -58,7 +58,11 @@ def build_frame_mono(
     scale_factor: float = 1.2,
 ) -> FrameData:
     """Monocular frame: extract ORB + undistort keypoints
-    (reference Frame mono ctor: ExtractORB + UndistortKeyPoints)."""
+    (reference Frame mono ctor: ExtractORB + UndistortKeyPoints).
+
+    `img` may be uint8 — the float cast happens on device, so callers
+    transfer 1 byte/pixel (4x less tunnel/PCIe traffic than float32)."""
+    img = img.astype(jnp.float32)
     f: Features = extract_orb(
         img, n_features=n_features, n_levels=n_levels, scale_factor=scale_factor
     )
@@ -94,9 +98,13 @@ def build_frame_stereo(
     """Stereo frame: ORB on both images (the reference runs the two
     extractors in parallel threads; here they are one fused program) +
     scanline association + SAD subpixel disparity
-    (reference Frame stereo ctor + ComputeStereoMatches)."""
+    (reference Frame stereo ctor + ComputeStereoMatches). Accepts
+    uint8 images (device-side float cast — see build_frame_mono)."""
     from orb_slam2_test_tpu.ops.pyramid import build_pyramid
     from orb_slam2_test_tpu.ops.stereo import stereo_match
+
+    img_left = img_left.astype(jnp.float32)
+    img_right = img_right.astype(jnp.float32)
 
     fl = extract_orb(
         img_left, n_features=n_features, n_levels=n_levels,
@@ -140,7 +148,9 @@ def build_frame_rgbd(
     scale_factor: float = 1.2,
 ) -> FrameData:
     """RGB-D frame: depth lookup at keypoints + virtual right coordinate
-    ur = u - bf/d (reference Frame::ComputeStereoFromRGBD)."""
+    ur = u - bf/d (reference Frame::ComputeStereoFromRGBD). Accepts
+    uint8 images (device-side float cast — see build_frame_mono)."""
+    img = img.astype(jnp.float32)
     f: Features = extract_orb(
         img, n_features=n_features, n_levels=n_levels, scale_factor=scale_factor
     )

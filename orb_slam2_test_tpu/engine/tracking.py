@@ -146,26 +146,67 @@ def _pose_opt_on(cam, cfg, m, frame, feat_pt, Tcw_init):
     )
 
 
-def _motion_body(cam, cfg, m, frame, pred, last_feat_pt):
-    """TrackWithMotionModel: project last frame's points at the
-    constant-velocity prediction, match, optimize (Tracking.cc:~730)."""
-    P = m.pt_valid.shape[0]
-    pid = jnp.where(last_feat_pt >= 0, last_feat_pt, P)
-    seen = jnp.zeros((P,), bool).at[pid].set(True, mode="drop")
+def _motion_body(cam, cfg, m, frame, pred, last_feat_pt, last_frame,
+                 last_Tcw):
+    """TrackWithMotionModel: match the LAST FRAME's points — its map
+    points at their current optimized positions, PLUS temporary points
+    backprojected from its own depth for features without a map point —
+    at the constant-velocity prediction, then motion-only BA
+    (Tracking.cc:~730 + UpdateLastFrame's temporal close points,
+    Tracking.cc:~700: the reference densifies stereo/RGB-D motion
+    tracking with depth-backed points that never enter the map; they
+    make the motion step immune to map staleness/duplication).
+    """
+    from orb_slam2_test_tpu.geometry.camera import backproject
+    from orb_slam2_test_tpu.geometry.se3 import se3_apply
+    from orb_slam2_test_tpu.geometry.se3 import se3_inverse as inv
+
+    N = last_frame.uv.shape[0]
+    has_mp = last_feat_pt >= 0
+    pid = jnp.clip(last_feat_pt, 0)
+    # temporal candidates: last-frame features with measured depth
+    has_depth = last_frame.valid & (last_frame.depth > 0)
+    xyz_tmp = se3_apply(
+        inv(last_Tcw), backproject(cam, last_frame.uv, last_frame.depth)
+    )
+    cand_ok = has_mp | has_depth
+    cand_xyz = jnp.where(has_mp[:, None], m.pt_xyz[pid], xyz_tmp)
+    cand_desc = jnp.where(has_mp[:, None], m.pt_desc[pid], last_frame.desc)
+    # no view-cos gate (reference SearchByProjection(Frame&, Frame&)
+    # gates by octave window only). The matcher derives its predicted
+    # octave from max_dist/dist; synthesize max_dist so the prediction
+    # equals the feature's LAST observed octave (the reference searches
+    # level in [l-1, l+1] of the last keypoint).
+    Rp = pred[:3, :3]
+    Ow = -Rp.T @ pred[:3, 3]
+    dist_c = jnp.maximum(
+        jnp.linalg.norm(cand_xyz - Ow[None, :], axis=-1), 1e-6
+    )
+    scales = jnp.asarray(cfg.map_capacity.level_scales)
+    maxd = dist_c * scales[last_frame.level]
     pm = search_by_projection(
         cam, pred,
-        m.pt_xyz, m.pt_desc, m.pt_valid & seen,
-        m.pt_normal, m.pt_min_dist, m.pt_max_dist,
-        jnp.arange(P, dtype=jnp.int32), frame,
+        cand_xyz, cand_desc, cand_ok,
+        jnp.zeros((N, 3), jnp.float32), jnp.zeros((N,), jnp.float32), maxd,
+        jnp.arange(N, dtype=jnp.int32), frame,
         radius=cfg.motion_radius,
         scale_factor=cfg.scale_factor,
         n_levels=cfg.n_levels,
         check_view_cos=False,
-        # last frame observed at most n_features points
-        max_candidates=cfg.n_features,
     )
-    res = _pose_opt_on(cam, cfg, m, frame, pm.feat_pt, pred)
-    feat_inl = jnp.where(res.inliers, pm.feat_pt, -1)
+    # pm.feat_pt indexes the candidate rows (= last-frame features)
+    c = pm.feat_pt
+    got = c >= 0
+    cs = jnp.clip(c, 0)
+    X = cand_xyz[cs]
+    uvr = jnp.concatenate([frame.uv, frame.ur[:, None]], axis=-1)
+    isig2 = 1.0 / jnp.asarray(cfg.map_capacity.level_sigma2)[frame.level]
+    res = pose_optimization(
+        cam, pred, X, uvr, isig2, got & frame.valid
+    )
+    # only MAP-point matches persist as feature->point links
+    feat_mp = jnp.where(got & has_mp[cs], last_feat_pt[cs], -1)
+    feat_inl = jnp.where(res.inliers, feat_mp, -1)
     return pm.n_matches, res.Tcw, res.n_inliers, feat_inl
 
 
@@ -263,7 +304,7 @@ _local_map_step_device = f32_matmuls(functools.partial(
 @f32_matmuls
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
 def _track_frame_device(cam, cfg, m, frame, vel, T_cr, last_feat_pt,
-                        ref_kf, close_depth):
+                        last_frame, ref_kf, close_depth):
     """The whole happy-path frame: motion-model tracking -> local-map
     tracking -> keyframe-decision statistics, ONE device program with
     ONE host sync per frame. When the motion model fails its gates the
@@ -277,9 +318,10 @@ def _track_frame_device(cam, cfg, m, frame, vel, T_cr, last_feat_pt,
     matches alias and pose optimization rejects them, which killed
     long sequences at high keyframe cadence).
     """
-    pred = vel @ T_cr @ m.kf_Tcw[ref_kf]
+    last_anchored = T_cr @ m.kf_Tcw[ref_kf]
+    pred = vel @ last_anchored
     n_m, Tcw_m, n_inl_m, feat_m = _motion_body(
-        cam, cfg, m, frame, pred, last_feat_pt
+        cam, cfg, m, frame, pred, last_feat_pt, last_frame, last_anchored
     )
     # speculative local map from the motion result (discarded on the
     # host if the motion gates fail)
@@ -478,7 +520,7 @@ class Tracker:
         """Main entry — System::TrackMonocular -> GrabImageMonocular."""
         with profiler.span("frame_build"):
             frame = build_frame_mono(
-                jnp.asarray(img, jnp.float32),
+                jnp.asarray(img),
                 timestamp,
                 self.cam,
                 n_features=self.cfg.n_features,
@@ -493,8 +535,8 @@ class Tracker:
 
         with profiler.span("frame_build"):
             frame = build_frame_stereo(
-                jnp.asarray(img_left, jnp.float32),
-                jnp.asarray(img_right, jnp.float32),
+                jnp.asarray(img_left),
+                jnp.asarray(img_right),
                 timestamp,
                 self.cam,
                 n_features=self.cfg.n_features,
@@ -506,7 +548,7 @@ class Tracker:
     def process_image_rgbd(self, img, depth, timestamp: float):
         with profiler.span("frame_build"):
             frame = build_frame_rgbd(
-                jnp.asarray(img, jnp.float32),
+                jnp.asarray(img),
                 jnp.asarray(depth, jnp.float32),
                 timestamp,
                 self.cam,
@@ -878,7 +920,7 @@ class Tracker:
          ref_Tcw, n_tc, n_uc, pred_used) = _track_frame_device(
             self.cam, self.cfg, self.map, frame,
             jnp.asarray(self.velocity), jnp.asarray(T_cr),
-            self.last_feat_pt,
+            self.last_feat_pt, self.last_frame,
             jnp.asarray(self.ref_kf, jnp.int32), cd,
         )
         (n_m, n_inl_m, Tcw_m, vw0, vkf0, n_inl_l, Tcw_np, ref_np,

@@ -4,7 +4,7 @@ Replaces the LoadImages functions in the reference example drivers
 (Examples/Monocular/{mono_tum,mono_kitti,mono_euroc}.cc,
 Examples/Stereo/{stereo_kitti,stereo_euroc}.cc,
 Examples/RGB-D/rgbd_tum.cc — SURVEY.md section 2 row 20). Same on-disk
-formats; images decode to float32 grayscale [H, W] in [0, 255], ready
+formats; images decode to uint8 grayscale [H, W] (device casts), ready
 for the jitted frame builders.
 """
 
@@ -25,7 +25,9 @@ def load_image_gray(path: str) -> np.ndarray:
     img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
     if img is None:
         raise FileNotFoundError(f"failed to load image: {path}")
-    return img.astype(np.float32)
+    # stay uint8: the frame builders cast on DEVICE, so the host->TPU
+    # transfer is 1 byte/pixel
+    return img
 
 
 def load_depth(path: str, depth_map_factor: float) -> np.ndarray:

@@ -117,6 +117,8 @@ class SlamSettings:
     ba_fixed_cap: Optional[int] = None
     max_frames_between_kf: Optional[int] = None
     enable_local_ba: Optional[int] = None  # 0/1 (debug/ablation switch)
+    enable_fuse: Optional[int] = None  # 0/1 (debug/ablation switch)
+    enable_kf_culling: Optional[int] = None  # 0/1 (debug/ablation switch)
 
     extra: dict = dataclasses.field(default_factory=dict)
 
@@ -156,8 +158,10 @@ class SlamSettings:
             v = getattr(self, f)
             if v is not None:
                 kw[f] = int(v)
-        if self.enable_local_ba is not None:
-            kw["enable_local_ba"] = bool(int(self.enable_local_ba))
+        for f in ("enable_local_ba", "enable_fuse", "enable_kf_culling"):
+            v = getattr(self, f)
+            if v is not None:
+                kw[f] = bool(int(v))
         kw.update(overrides)
         return TrackerConfig(**kw)
 
@@ -201,6 +205,8 @@ _KEYMAP = {
     "Tracker.baFixedCap": "ba_fixed_cap",
     "Tracker.maxFramesBetweenKF": "max_frames_between_kf",
     "Tracker.enableLocalBA": "enable_local_ba",
+    "Tracker.enableFuse": "enable_fuse",
+    "Tracker.enableKFCulling": "enable_kf_culling",
 }
 
 _INT_FIELDS = {
