@@ -89,7 +89,7 @@ def optimize_essential_graph(
         r, Ji, Jj = jax.vmap(per_edge)(Siw, Sjw, edge_Sji)  # [E,7],[E,7,7]x2
         w = w_edge
 
-        # assemble dense H [K, K, 7, 7] and b [K, 7]
+        # per-edge normal-equation blocks
         wJi = Ji * w[:, None, None]
         wJj = Jj * w[:, None, None]
         Hii = jnp.einsum("eki,ekj->eij", Ji, wJi)
@@ -97,34 +97,91 @@ def optimize_essential_graph(
         Hij = jnp.einsum("eki,ekj->eij", Ji, wJj)
         bi = -jnp.einsum("eki,ek->ei", Ji, w[:, None] * r)
         bj = -jnp.einsum("eki,ek->ei", Jj, w[:, None] * r)
-
-        H = jnp.zeros((K, K, 7, 7))
-        H = H.at[edge_i, edge_i].add(Hii)
-        H = H.at[edge_j, edge_j].add(Hjj)
-        H = H.at[edge_i, edge_j].add(Hij)
-        H = H.at[edge_j, edge_i].add(jnp.swapaxes(Hij, -1, -2))
         b = jnp.zeros((K, 7))
         b = b.at[edge_i].add(bi)
         b = b.at[edge_j].add(bj)
-
-        # fixed / invalid nodes: identity rows
-        H = jnp.where(
-            locked[:, None, None, None] | locked[None, :, None, None], 0.0, H
-        )
-        H = H.at[jnp.arange(K), jnp.arange(K)].add(
-            jnp.where(locked[:, None, None], jnp.eye(7)[None], 0.0)
-        )
         b = jnp.where(locked[:, None], 0.0, b)
+
+        # diagonal blocks (damping + block-Jacobi preconditioner)
+        Hdiag = jnp.zeros((K, 7, 7))
+        Hdiag = Hdiag.at[edge_i].add(Hii).at[edge_j].add(Hjj)
+        dd = jnp.diagonal(Hdiag, axis1=-2, axis2=-1)
+        damp = lam * jnp.maximum(dd, 1e-8) + 1e-9
+        Hdiag_d = Hdiag + jax.vmap(jnp.diag)(damp)
         if fix_scale:
             # freeze the scale coordinate of every node
-            H = H.at[jnp.arange(K), jnp.arange(K), 6, 6].add(1e12)
-
-        Hd = H.transpose(0, 2, 1, 3).reshape(K * 7, K * 7)
-        diag = jnp.diagonal(Hd)
-        Hd = Hd + lam * jnp.diag(jnp.maximum(diag, 1e-8)) + 1e-9 * jnp.eye(
-            K * 7
+            Hdiag_d = Hdiag_d.at[:, 6, 6].add(1e12)
+        Hdiag_d = jnp.where(
+            locked[:, None, None], jnp.eye(7)[None], Hdiag_d
         )
-        dx = jnp.linalg.solve(Hd, b.reshape(K * 7)).reshape(K, 7)
+
+        if K <= 512:
+            # small graphs: assemble dense [7K, 7K] and Cholesky on the
+            # MXU (the [K, K, 7, 7] buffer squares with K — 29 MB at
+            # K=384 but 3.3 GB at K=4096, so big graphs take the CG
+            # path below)
+            H = jnp.zeros((K, K, 7, 7))
+            off = ~(locked[edge_i] | locked[edge_j])
+            Hij_m = jnp.where(off[:, None, None], Hij, 0.0)
+            ei_d = jnp.where(locked[edge_i], K, edge_i)
+            ej_d = jnp.where(locked[edge_j], K, edge_j)
+            H = H.at[ei_d, ei_d].add(
+                jnp.where(locked[edge_i, None, None], 0.0, Hii),
+                mode="drop")
+            H = H.at[ej_d, ej_d].add(
+                jnp.where(locked[edge_j, None, None], 0.0, Hjj),
+                mode="drop")
+            H = H.at[ei_d, ej_d].add(Hij_m, mode="drop")
+            H = H.at[ej_d, ei_d].add(
+                jnp.swapaxes(Hij_m, -1, -2), mode="drop")
+            # overwrite diagonal with the damped/locked version
+            H = H.at[jnp.arange(K), jnp.arange(K)].set(0.0)
+            H = H.at[jnp.arange(K), jnp.arange(K)].add(Hdiag_d)
+            Hd = H.transpose(0, 2, 1, 3).reshape(K * 7, K * 7)
+            dx = jnp.linalg.solve(Hd, b.reshape(K * 7)).reshape(K, 7)
+        else:
+            # large graphs: block-Jacobi-preconditioned CG with an
+            # edge-wise matvec — O(E) memory, no [K, K] materialization
+            off_ok = ~(locked[edge_i] | locked[edge_j])
+            Hij_m = jnp.where(off_ok[:, None, None], Hij, 0.0)
+
+            def matvec(v):
+                v = jnp.where(locked[:, None], 0.0, v)
+                out = jnp.einsum("kij,kj->ki", Hdiag_d - jnp.where(
+                    locked[:, None, None], jnp.eye(7)[None], 0.0), v)
+                out = out.at[edge_i].add(
+                    jnp.einsum("eij,ej->ei", Hij_m, v[edge_j]))
+                out = out.at[edge_j].add(
+                    jnp.einsum("eji,ej->ei", Hij_m, v[edge_i]))
+                return jnp.where(locked[:, None], v, out)
+
+            Minv = jnp.linalg.inv(Hdiag_d)
+
+            def precond(rr):
+                return jnp.einsum("kij,kj->ki", Minv, rr)
+
+            x = jnp.zeros((K, 7))
+            rr = b - matvec(x)
+            z = precond(rr)
+            p = z
+            rz = jnp.sum(rr * z)
+
+            def cg_body(cgc, _):
+                x, rr, p, rz = cgc
+                Ap = matvec(p)
+                den = jnp.sum(p * Ap)
+                alpha = rz / jnp.where(jnp.abs(den) > 1e-20, den, 1e-20)
+                x = x + alpha * p
+                rr = rr - alpha * Ap
+                z = precond(rr)
+                rz2 = jnp.sum(rr * z)
+                beta = rz2 / jnp.where(jnp.abs(rz) > 1e-20, rz, 1e-20)
+                return (x, rr, z + beta * p, rz2), None
+
+            (x, rr, p, rz), _ = jax.lax.scan(
+                cg_body, (x, rr, p, rz), None, length=100
+            )
+            dx = x
         dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
         cand = jax.vmap(lambda d, S: sim3_exp(d) @ S)(dx, Scw)
         cand = jnp.where(locked[:, None, None], Scw, cand)

@@ -60,12 +60,16 @@ def draw_tracker_frame(tracker) -> np.ndarray | None:
         tracked = np.asarray(tracker.cur_feat_pt) >= 0
     else:
         tracked = np.zeros(len(uv), bool)
-    # synthesize the image from nothing we kept: frames don't retain
-    # pixels (arrays stay on device only during extraction), so draw on
-    # a blank canvas sized to the camera
-    img = np.full(
-        (tracker.cam.height, tracker.cam.width), 40.0, np.float32
-    )
+    # the tracker retains a host copy of the last raw image (reference
+    # FrameDrawer::Update copies mImGray); blank canvas only when a
+    # frame was never processed through an image entry point
+    img = getattr(tracker, "last_image", None)
+    if img is None:
+        img = np.full(
+            (tracker.cam.height, tracker.cam.width), 40.0, np.float32
+        )
+    else:
+        img = np.asarray(img, np.float32)
     return draw_frame(
         img, uv[valid], tracked[valid],
         state=tracker.state,
