@@ -111,6 +111,73 @@ def gen_kitti(args) -> int:
     return 0
 
 
+def gen_euroc(args) -> int:
+    """EuRoC MAV on-disk layout: mav0/cam0/data/<ns>.png (+ cam1 for
+    stereo) with nanosecond filenames, plus a reference-schema EuRoC
+    yaml. Fills the one BASELINE config (EuRoC MH_01 mono) that had no
+    synthetic dataset. Zero distortion: rectification maps become
+    identity but the EuRoC driver's code path still runs."""
+    from orb_slam2_test_tpu.geometry.camera import PinholeCamera
+    from orb_slam2_test_tpu.io import trajectory as traj_io
+    from orb_slam2_test_tpu.utils.synthetic import render_loop_sequence
+
+    rng = np.random.default_rng(args.seed)
+    w, h = 752, 480  # EuRoC cam geometry
+    baseline = 0.11
+    cam = PinholeCamera(
+        fx=458.654, fy=457.296, cx=367.215, cy=248.375,
+        width=w, height=h, bf=458.654 * baseline,
+    )
+    print(f"rendering {args.frames} frames at {w}x{h} ...", flush=True)
+    seq = render_loop_sequence(
+        rng, args.frames, cam, n_landmarks=args.landmarks,
+        radius=args.radius, baseline=baseline,
+    )
+    d = args.out
+    os.makedirs(os.path.join(d, "mav0", "cam0", "data"), exist_ok=True)
+    os.makedirs(os.path.join(d, "mav0", "cam1", "data"), exist_ok=True)
+    t0_ns = 1403636579763555584  # MH_01-style epoch
+    gt = []
+    for i in range(args.frames):
+        ns = t0_ns + int(i * 1e9 / args.fps)
+        _write_png(
+            os.path.join(d, "mav0", "cam0", "data", f"{ns}.png"),
+            seq["left"][i],
+        )
+        _write_png(
+            os.path.join(d, "mav0", "cam1", "data", f"{ns}.png"),
+            seq["right"][i],
+        )
+        gt.append((ns * 1e-9, seq["poses"][i]))
+        if (i + 1) % 100 == 0:
+            print(f"  {i + 1}/{args.frames} frames written", flush=True)
+    with open(os.path.join(d, "mav0", "cam0", "data.csv"), "w") as f:
+        f.write("#timestamp [ns],filename\n")
+        for i in range(args.frames):
+            ns = t0_ns + int(i * 1e9 / args.fps)
+            f.write(f"{ns},{ns}.png\n")
+    traj_io.save_trajectory_tum(os.path.join(d, "groundtruth.txt"), gt)
+    yaml = os.path.join(d, "settings.yaml")
+    with open(yaml, "w") as f:
+        f.write("%YAML:1.0\n")
+        f.write(f"Camera.fx: {cam.fx}\nCamera.fy: {cam.fy}\n")
+        f.write(f"Camera.cx: {cam.cx}\nCamera.cy: {cam.cy}\n")
+        f.write("Camera.k1: 0.0\nCamera.k2: 0.0\n")
+        f.write("Camera.p1: 0.0\nCamera.p2: 0.0\n")
+        f.write(f"Camera.width: {w}\nCamera.height: {h}\n")
+        f.write(f"Camera.fps: {args.fps}\nCamera.bf: {cam.bf}\n")
+        f.write("Camera.RGB: 1\nThDepth: 35.0\n")
+        f.write(f"ORBextractor.nFeatures: {args.features}\n")
+        f.write("ORBextractor.scaleFactor: 1.2\n")
+        f.write("ORBextractor.nLevels: 8\n")
+        f.write("ORBextractor.iniThFAST: 20\nORBextractor.minThFAST: 7\n")
+        f.write(f"Map.maxKeyFrames: {args.max_keyframes}\n")
+        f.write(f"Map.maxPoints: {args.max_points}\n")
+        _tracker_overrides(f, close_pts=False)
+    print(f"dataset at {d} (settings: {yaml})")
+    return 0
+
+
 def gen_tum(args, rgbd: bool) -> int:
     from orb_slam2_test_tpu.geometry.camera import PinholeCamera
     from orb_slam2_test_tpu.io import trajectory as traj_io
@@ -187,7 +254,7 @@ def gen_tum(args, rgbd: bool) -> int:
 
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("kind", choices=("kitti", "tum-mono", "tum-rgbd"))
+    p.add_argument("kind", choices=("kitti", "tum-mono", "tum-rgbd", "euroc"))
     p.add_argument("--out", required=True)
     p.add_argument("--frames", type=int, default=None)
     p.add_argument("--landmarks", type=int, default=None)
@@ -211,6 +278,14 @@ def main() -> int:
         args.max_keyframes = args.max_keyframes or 384
         args.max_points = args.max_points or 131072
         return gen_kitti(args)
+    if args.kind == "euroc":
+        args.frames = args.frames or 300
+        args.landmarks = args.landmarks or 3000
+        args.radius = args.radius or 15.0
+        args.features = args.features or 1000
+        args.max_keyframes = args.max_keyframes or 256
+        args.max_points = args.max_points or 65536
+        return gen_euroc(args)
     args.frames = args.frames or 240
     args.landmarks = args.landmarks or 2500
     args.radius = args.radius or 12.0

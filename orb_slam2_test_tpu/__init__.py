@@ -30,3 +30,29 @@ Layer map (mirrors SURVEY.md section 1):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the CLI drivers are separate
+# processes, and without this every run re-pays minutes of compiles
+# for identical programs (the reference's analog is its one-off
+# -O3 build; our "build" happens at trace time and is cached here).
+# Best-effort: some backends/versions reject the options.
+def _enable_compilation_cache() -> None:
+    import os
+
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "SLAM_JAX_CACHE",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "orb_slam2_test_tpu_xla"
+            ),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:  # pragma: no cover - cache is an optimization only
+        pass
+
+
+_enable_compilation_cache()

@@ -393,10 +393,15 @@ class LoopCloser:
     def on_new_keyframe(self, m: MapState, kf_id: int):
         """Returns (map, loop_closed: bool). Adds the KF to the database
         either way (reference DetectLoop adds at the end)."""
-        words = self.kf_words(m, kf_id)
-
-        covw = np.asarray(covisibility_weights(m, jnp.asarray([kf_id]))[0])
-        connected = set(np.nonzero(covw >= 15)[0].tolist())
+        # ONE fused dispatch + ONE transfer for the per-keyframe host
+        # inputs (BoW words + covisibility row) — separate pulls cost a
+        # tunnel round-trip each
+        w_dev, _ = transform(self.voc, m.kf_desc[kf_id],
+                             m.kf_kp_valid[kf_id])
+        covw_dev = covisibility_weights(m, jnp.asarray([kf_id]))[0]
+        words, covw = jax.device_get((w_dev, covw_dev))
+        words = np.asarray(words)
+        connected = set(np.nonzero(np.asarray(covw) >= 15)[0].tolist())
 
         loop_closed = False
         candidate = None

@@ -330,7 +330,15 @@ def _track_frame_device(cam, cfg, m, frame, vel, T_cr, last_feat_pt,
     n_tc, n_uc = _close_counts_body(
         frame.depth, frame.valid, new_feat, close_depth
     )
-    return (n_m, n_inl_m, Tcw_m) + local + (n_tc, n_uc, pred)
+    # close counts at the MOTION links too (the VO-mode fallback path
+    # needs them when the local map is rejected)
+    n_tc_m, n_uc_m = _close_counts_body(
+        frame.depth, frame.valid, feat_m, close_depth
+    )
+    n_map_m = jnp.sum((feat_m >= 0).astype(jnp.int32))
+    return (n_m, n_inl_m, Tcw_m) + local + (
+        n_tc, n_uc, pred, feat_m, n_map_m, n_tc_m, n_uc_m
+    )
 
 
 @f32_matmuls
@@ -1015,16 +1023,18 @@ class Tracker:
 
     def _consume_fused(self, outs):
         (n_m, n_inl_m, Tcw_m, vw0, vkf0, Tcw_l, n_inl_l, new_feat, vis,
-         ref_Tcw, n_tc, n_uc, pred_used) = outs
+         ref_Tcw, n_tc, n_uc, pred_used, feat_m, n_map_m,
+         n_tc_m, n_uc_m) = outs
         (n_m, n_inl_m, Tcw_m, vw0, vkf0, n_inl_l, Tcw_np, ref_np,
-         n_tc, n_uc, pred_np) = jax.device_get(
+         n_tc, n_uc, pred_np, n_map_m, n_tc_m, n_uc_m) = jax.device_get(
             (n_m, n_inl_m, Tcw_m, vw0, vkf0, n_inl_l, Tcw_l, ref_Tcw,
-             n_tc, n_uc, pred_used)
+             n_tc, n_uc, pred_used, n_map_m, n_tc_m, n_uc_m)
         )
         self.last_diag = {
             "n_motion_matches": int(n_m),
             "n_motion_inliers": int(n_inl_m),
             "n_local_inliers": int(n_inl_l),
+            "n_map_motion_matches": int(n_map_m),
             "pred_Tcw": np.asarray(pred_np),
             "motion_Tcw": np.asarray(Tcw_m),
             "local_Tcw": np.asarray(Tcw_np),
@@ -1039,6 +1049,25 @@ class Tracker:
         self._ref_Tcw_host = np.asarray(ref_np)
         n_inl_l = int(n_inl_l)
         if n_inl_l < self.cfg.min_local_inliers:
+            # "visual odometry" mode (reference Tracking::mbVO,
+            # Tracking.cc:~740): with a depth sensor, a frame whose
+            # MOTION step tracked strongly on temporal depth points can
+            # sit in an area the map does not cover yet — the reference
+            # keeps tracking on those points instead of going LOST, and
+            # the keyframe-decision rules (few map matches, close-point
+            # deficit) then force a keyframe that grows the map there.
+            if (
+                self.close_depth is not None
+                and int(n_inl_m) >= 2 * self.cfg.min_local_inliers
+            ):
+                self.last_diag["vo_mode"] = True
+                self._T_cr_last = self.last_Tcw @ np.linalg.inv(
+                    self._ref_Tcw_host
+                )
+                self.cur_feat_pt = feat_m  # map links from motion only
+                self.n_tracked = int(n_map_m)
+                self._close_counts = (int(n_tc_m), int(n_uc_m))
+                return True, True
             return True, False  # local map rejected -> LOST
         self.last_Tcw = np.asarray(Tcw_np)
         self._T_cr_last = self.last_Tcw @ np.linalg.inv(self._ref_Tcw_host)
@@ -1136,6 +1165,13 @@ class Tracker:
     def _maybe_insert_keyframe(self, frame: FrameData, use_depth: bool):
         need = False
         if self.frames_since_kf >= self.cfg.max_frames_between_kf:
+            need = True
+        # visual-odometry mode: the frame tracked on temporal depth
+        # points because the map does not cover this area — insert a
+        # keyframe NOW so its depth points extend the map (reference
+        # NeedNewKeyFrame's mbVO/close-deficit intent; the ratio gates
+        # below cannot fire with near-zero map matches)
+        if self.last_diag.get("vo_mode") and self.frames_since_kf >= 1:
             need = True
         ref_tracked = max(self.ref_kf_tracked, 1)
         if (
