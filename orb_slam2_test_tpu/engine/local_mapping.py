@@ -48,6 +48,13 @@ class LocalBACaps:
     n_local: int = 16  # optimizable keyframes (reference: all covisible)
     n_fixed: int = 8  # boundary keyframes held fixed
     n_points: int = 4096  # optimizable points
+    # LM schedule (reference LocalBundleAdjustment runs 5 robust + 10
+    # inlier iterations but ABORTS mid-schedule whenever a new keyframe
+    # arrives — mbAbortBA — so its effective per-keyframe schedule at
+    # real cadence is shorter; 4+6 matches that while nearly halving
+    # the insert program's critical path)
+    iters1: int = 4
+    iters2: int = 6
 
 
 @f32_matmuls
@@ -380,7 +387,7 @@ def run_local_ba(
         obs_isig2=isig2.reshape(-1),
         obs_valid=obs_ok.reshape(-1),
     )
-    res = bundle_adjust(prob, cam)
+    res = bundle_adjust(prob, cam, iters1=caps.iters1, iters2=caps.iters2)
 
     # write back poses (local, valid, non-fixed) and points
     upd_cam = cam_ok & ~cam_fixed
@@ -418,12 +425,32 @@ def fuse_with_neighbor(
     cam: PinholeCamera,
     kf_a: jax.Array,
     kf_b: jax.Array,
+    obs_counts: jax.Array | None = None,
 ) -> tuple[MapState, jax.Array]:
     """Project keyframe B's map points into keyframe A and merge
     duplicate landmarks (LocalMapping::SearchInNeighbors one direction:
     ORBmatcher::Fuse radius 3 + MapPoint::Replace — the point with more
     observations survives; all feature links to the loser are rewritten
-    to the winner map-wide). Returns (map, n_fused_or_adopted)."""
+    to the winner map-wide). Returns (map, n_fused_or_adopted).
+
+    `obs_counts` [P]: carried observation counts maintained across a
+    chain of fuse passes via fuse_with_neighbor_counted — recomputing
+    them is a [K, N] -> [P] scatter (~5 ms at KITTI capacities), paid
+    8x per keyframe insertion before this was threaded through."""
+    m, n, _ = fuse_with_neighbor_counted(m, cam, kf_a, kf_b, obs_counts)
+    return m, n
+
+
+def fuse_with_neighbor_counted(
+    m: MapState,
+    cam: PinholeCamera,
+    kf_a: jax.Array,
+    kf_b: jax.Array,
+    obs_counts: jax.Array | None = None,
+):
+    """fuse_with_neighbor body; also returns the incrementally-updated
+    observation counts (winner gains the loser's observations, losers
+    zero, adopted points +1 — all [N]-sized updates)."""
     P = m.pt_valid.shape[0]
     # gate BOTH endpoints: a traced -1 index wraps to the LAST slot, so
     # an unguarded kf_a would fuse against an unrelated keyframe and
@@ -458,7 +485,7 @@ def fuse_with_neighbor(
     adopt = (q >= 0) & (row_a < 0) & m.kf_kp_valid[kf_a]
     conflict = (q >= 0) & (row_a >= 0) & (row_a != q)
 
-    obs = observation_counts(m)
+    obs = observation_counts(m) if obs_counts is None else obs_counts
     qs, rs = jnp.clip(q, 0), jnp.clip(row_a, 0)
     q_wins = obs[qs] >= obs[rs]
     winner = jnp.where(q_wins, qs, rs)
@@ -491,7 +518,16 @@ def fuse_with_neighbor(
     )
     m_out = jax.tree.map(lambda a, b: jnp.where(b_ok, a, b), m2, m)
     n = jnp.where(b_ok, jnp.sum(adopt) + jnp.sum(conflict), 0)
-    return m_out, n
+    # incremental count maintenance ([N]-sized scatters):
+    # winners absorb their loser's observations, losers go to zero,
+    # freshly adopted points gain one observation
+    new_obs = obs.at[jnp.where(conflict, winner, P)].add(
+        obs[loser] * conflict.astype(obs.dtype), mode="drop"
+    )
+    new_obs = jnp.where(lose_mask, 0, new_obs)
+    new_obs = new_obs.at[jnp.where(adopt, qs, P)].add(1, mode="drop")
+    new_obs = jnp.where(b_ok, new_obs, obs)
+    return m_out, n, new_obs
 
 
 @f32_matmuls

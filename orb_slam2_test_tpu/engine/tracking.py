@@ -39,7 +39,7 @@ from orb_slam2_test_tpu.engine.local_mapping import (
     LocalBACaps,
     cull_keyframes,
     cull_points,
-    fuse_with_neighbor,
+    fuse_with_neighbor_counted,
     run_local_ba,
     triangulate_with_neighbors,
 )
@@ -466,9 +466,18 @@ def _grow_map_device(cam, cfg, m, frame, Tcw, feat_pt, timestamp,
         m, cam, kf, ids, cap, cfg.n_triangulate_neighbors
     )
     if cfg.enable_fuse:
+        from orb_slam2_test_tpu.slam_map.covisibility import (
+            observation_counts,
+        )
+
+        obs_counts = observation_counts(m)  # once; fuses maintain it
         for k in range(cfg.n_triangulate_neighbors):
-            m, _ = fuse_with_neighbor(m, cam, kf, ids[k])
-            m, _ = fuse_with_neighbor(m, cam, ids[k], kf)
+            m, _, obs_counts = fuse_with_neighbor_counted(
+                m, cam, kf, ids[k], obs_counts
+            )
+            m, _, obs_counts = fuse_with_neighbor_counted(
+                m, cam, ids[k], kf, obs_counts
+            )
 
     window = jnp.concatenate([kf[None], ids])
     m = update_distinctive_descriptors(
@@ -511,6 +520,13 @@ class Tracker:
         self.init_frame: Optional[FrameData] = None
         self.last_frame: Optional[FrameData] = None
         self.last_image = None  # host copy of the last raw image
+        # timestamp epoch: device/map timestamps are float32, which
+        # cannot represent EuRoC-style nanosecond epochs (~1.4e9 s) at
+        # sub-second precision — the tracker subtracts the first
+        # timestamp before anything reaches the device and adds it back
+        # on export
+        self._ts0 = None
+        self._cur_ts_abs = 0.0
         # (retained for the viewer's frame overlay — reference
         # FrameDrawer::Update copies mImGray under a mutex)
         self.last_feat_pt = None  # [N] point id per last-frame feature
@@ -559,6 +575,7 @@ class Tracker:
     # ------------------------------------------------------------------
     def process_image_mono(self, img, timestamp: float):
         """Main entry — System::TrackMonocular -> GrabImageMonocular."""
+        timestamp = self._rel_ts(timestamp)
         self.last_image = np.asarray(img)
         a = jnp.asarray(img)
         if self._fused_applicable():
@@ -580,6 +597,7 @@ class Tracker:
 
     def process_image_stereo(self, img_left, img_right, timestamp: float):
         """System::TrackStereo -> GrabImageStereo."""
+        timestamp = self._rel_ts(timestamp)
         from orb_slam2_test_tpu.engine.frame import build_frame_stereo
 
         self.last_image = np.asarray(img_left)
@@ -603,6 +621,7 @@ class Tracker:
         return self._track(frame, use_depth=True)
 
     def process_image_rgbd(self, img, depth, timestamp: float):
+        timestamp = self._rel_ts(timestamp)
         self.last_image = np.asarray(img)
         a = jnp.asarray(img)
         d = jnp.asarray(depth, jnp.float32)
@@ -683,7 +702,7 @@ class Tracker:
                     self._maybe_insert_keyframe(frame, use_depth)
             self.last_feat_pt = self.cur_feat_pt
             self.trajectory.append(
-                (float(frame.timestamp), np.asarray(self.last_Tcw))
+                (self._cur_ts_abs, np.asarray(self.last_Tcw))
             )
             if self._ref_is_new_kf:
                 # this frame created its reference keyframe at its own
@@ -691,7 +710,7 @@ class Tracker:
                 # device scalar (resolved at flush/export)
                 self._ref_is_new_kf = False
                 self.rel_trajectory.append(
-                    (float(frame.timestamp), self.ref_kf, np.eye(4))
+                    (self._cur_ts_abs, self.ref_kf, np.eye(4))
                 )
             else:
                 T_ref = getattr(self, "_ref_Tcw_host", None)
@@ -699,7 +718,7 @@ class Tracker:
                     T_ref = np.asarray(self.map.kf_Tcw[self.ref_kf])
                 self.rel_trajectory.append(
                     (
-                        float(frame.timestamp),
+                        self._cur_ts_abs,
                         int(self.ref_kf),
                         self.last_Tcw @ np.linalg.inv(T_ref),
                     )
@@ -717,6 +736,15 @@ class Tracker:
         self.last_frame = frame
         self.frames_since_kf += 1
         return self.current_pose() if ok else None
+
+    def _rel_ts(self, timestamp: float) -> float:
+        if self._ts0 is None:
+            self._ts0 = float(timestamp)
+        self._cur_ts_abs = float(timestamp)
+        return float(timestamp) - self._ts0
+
+    def _abs_ts(self, ts_rel: float) -> float:
+        return float(ts_rel) + (self._ts0 or 0.0)
 
     def current_pose(self):
         return np.asarray(self.last_Tcw)
@@ -797,7 +825,7 @@ class Tracker:
         order = valid[np.argsort(fids)]
         ts = np.asarray(m.kf_timestamp)
         Tcw = np.asarray(m.kf_Tcw)
-        return [(float(ts[k]), Tcw[k]) for k in order]
+        return [(self._abs_ts(ts[k]), Tcw[k]) for k in order]
 
     # ------------------------------------------------------------------
     # Initialization
@@ -844,9 +872,9 @@ class Tracker:
         self._create_initial_map(frame, m12, res.good, pts, Tcw2)
         self.last_Tcw = np.asarray(Tcw2)
         self._prev_Tcw = np.asarray(Tcw2)
-        self.trajectory.append((float(frame.timestamp), np.asarray(Tcw2)))
+        self.trajectory.append((self._cur_ts_abs, np.asarray(Tcw2)))
         self.rel_trajectory.append(
-            (float(frame.timestamp), int(self.ref_kf), np.eye(4))
+            (self._cur_ts_abs, int(self.ref_kf), np.eye(4))
         )
         return True
 
@@ -942,9 +970,9 @@ class Tracker:
         self.last_Tcw = np.eye(4)
         self._prev_Tcw = np.eye(4)
         self.velocity = None
-        self.trajectory.append((float(frame.timestamp), np.eye(4)))
+        self.trajectory.append((self._cur_ts_abs, np.eye(4)))
         self.rel_trajectory.append(
-            (float(frame.timestamp), int(self.ref_kf), np.eye(4))
+            (self._cur_ts_abs, int(self.ref_kf), np.eye(4))
         )
         return True
 

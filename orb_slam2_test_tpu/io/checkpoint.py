@@ -70,6 +70,7 @@ def save_tracker(path: str, tracker) -> None:
             "width": int(cam.width), "height": int(cam.height),
         },
         "state": tracker.state,
+        "ts0": tracker._ts0,
         "ref_kf": int(tracker.ref_kf),
         "ref_kf_tracked": int(tracker.ref_kf_tracked),
         "frames_since_kf": int(tracker.frames_since_kf),
@@ -121,6 +122,7 @@ def load_tracker(path: str, tracker) -> None:
     tracker.map = m
     tracker.n_live_kf = int(np.sum(np.asarray(m.kf_valid)))
     tracker.state = meta["state"]
+    tracker._ts0 = meta.get("ts0")
     tracker.ref_kf = meta["ref_kf"]
     tracker.ref_kf_tracked = meta["ref_kf_tracked"]
     tracker.frames_since_kf = meta["frames_since_kf"]

@@ -52,7 +52,7 @@ from orb_slam2_test_tpu.geometry.robust import (
     huber_weight,
 )
 from orb_slam2_test_tpu.geometry.se3 import se3_exp
-from orb_slam2_test_tpu.solvers.ba_core import BAProblem
+from orb_slam2_test_tpu.solvers.ba_core import BAProblem, inv3x3
 from orb_slam2_test_tpu.solvers.reprojection import project_residual
 
 AXIS = "ba"
@@ -215,7 +215,7 @@ def _make_runner(mesh: Mesh, iters: int, cg_iters: int):
             seen = jnp.zeros((Qs,)).at[obs_pt].add(w) > 0.0
             Hpp_d = jnp.where(
                 seen[:, None, None], Hpp_d, jnp.eye(3)[None])
-            Hpp_inv = jnp.linalg.inv(Hpp_d)
+            Hpp_inv = inv3x3(Hpp_d)
 
             fix = cam_fixed
 

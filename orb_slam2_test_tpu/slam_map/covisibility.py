@@ -50,26 +50,36 @@ def covisibility_weights(
     query_kf None: [K, K] full matrix (diag zeroed).
     query_kf [Q]:  [Q, K] rows for the query keyframes.
 
-    weight[i, j] = #points observed by both — one MXU matmul over the
-    observation indicator (bf16 accumulate in f32; counts <= N so exact).
+    weight[i, j] = #points observed by both. Full matrix: one MXU
+    matmul over the observation indicator (bf16 accumulate in f32;
+    counts <= N so exact). Few queries: a [P] indicator per query +
+    one [K, N] gather-sum — building the full [K, P] indicator (a
+    768k-element scatter into a 100 MB buffer at KITTI capacities)
+    just to read Q rows costs ~10-15 ms per call on TPU and sits on
+    the keyframe-insertion path three times.
     """
-    ind = observation_indicator(m)
     if query_kf is None:
+        ind = observation_indicator(m)
         w = jax.lax.dot_general(
             ind, ind, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         K = w.shape[0]
         w = w * (1.0 - jnp.eye(K, dtype=w.dtype))
-    else:
-        q = ind[query_kf]
-        w = jax.lax.dot_general(
-            q, ind, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        K = ind.shape[0]
-        same = query_kf[:, None] == jnp.arange(K)[None, :]
-        w = jnp.where(same, 0.0, w)
+        return w.astype(jnp.int32)
+    K = m.kf_valid.shape[0]
+    P = m.pt_valid.shape[0]
+    linked = (m.kf_pt_idx >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    pt = jnp.clip(m.kf_pt_idx, 0)
+
+    def one(q):
+        rows = jnp.where(linked[q], m.kf_pt_idx[q], P)
+        ind_q = jnp.zeros((P,), jnp.float32).at[rows].set(1.0, mode="drop")
+        votes = jnp.sum(jnp.where(linked, ind_q[pt], 0.0), axis=1)
+        votes = jnp.where(jnp.arange(K) == q, 0.0, votes)
+        return votes
+
+    w = jax.vmap(one)(query_kf)
     return w.astype(jnp.int32)
 
 
