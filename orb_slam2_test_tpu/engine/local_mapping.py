@@ -530,6 +530,139 @@ def fuse_with_neighbor_counted(
     return m_out, n, new_obs
 
 
+def fuse_round(
+    m: MapState,
+    cam: PinholeCamera,
+    kf_new: jax.Array,
+    nbr_ids: jax.Array,  # [B] covisible neighbors (-1 padding)
+    obs_counts: jax.Array,  # [P]
+    n_nbrs: int,
+):
+    """SearchInNeighbors BOTH directions for all neighbors in two
+    batched searches + ONE map-wide Replace (reference
+    LocalMapping::SearchInNeighbors; the sequential per-neighbor
+    variant paid 2B searches and 2B map-wide link rewrites per
+    keyframe — the dominant non-BA cost of the insertion program).
+
+    Direction 1: the neighbors' points (concatenated, [B*N] candidates)
+    project into the NEW keyframe. Direction 2: the new keyframe's
+    points project into each neighbor (vmapped over B). Conflicts from
+    both directions resolve in one winner/loser pass: more-observed
+    point wins, losers are erased and every link follows the winner.
+    Returns (map, n_fused, obs_counts')."""
+    K, N = m.kf_pt_idx.shape
+    P = m.pt_valid.shape[0]
+    B = n_nbrs
+    nbr_ok = nbr_ids >= 0
+    nb = jnp.clip(nbr_ids, 0)
+
+    # ---- direction 1: neighbor points -> new keyframe
+    rows_b = m.kf_pt_idx[nb]  # [B, N]
+    cand_ok = (
+        (rows_b >= 0) & m.kf_kp_valid[nb] & nbr_ok[:, None]
+    ).reshape(-1)
+    cid = jnp.clip(rows_b, 0).reshape(-1)
+    cand_ok = cand_ok & m.pt_valid[cid]
+    frame_new = _kf_view(m, kf_new)
+    pm_f = search_by_projection(
+        cam, m.kf_Tcw[kf_new],
+        m.pt_xyz[cid], m.pt_desc[cid], cand_ok,
+        m.pt_normal[cid], m.pt_min_dist[cid], m.pt_max_dist[cid],
+        jnp.where(cand_ok, rows_b.reshape(-1), -1), frame_new,
+        radius=3.0, max_hamming=TH_LOW, check_view_cos=True,
+    )
+    q_f = pm_f.feat_pt  # [N]
+    row_new = m.kf_pt_idx[kf_new]
+    adopt_f = (q_f >= 0) & (row_new < 0) & m.kf_kp_valid[kf_new]
+    conflict_f = (q_f >= 0) & (row_new >= 0) & (row_new != q_f)
+
+    # ---- direction 2: new keyframe's points -> each neighbor (vmap)
+    own_ok = (row_new >= 0) & m.kf_kp_valid[kf_new]
+    oid = jnp.clip(row_new, 0)
+    own_ok = own_ok & m.pt_valid[oid]
+    o_xyz = m.pt_xyz[oid]
+    o_desc = m.pt_desc[oid]
+    o_normal = m.pt_normal[oid]
+    o_mind = m.pt_min_dist[oid]
+    o_maxd = m.pt_max_dist[oid]
+    o_ids = jnp.where(own_ok, row_new, -1)
+
+    def rev_one(g, g_ok):
+        frame_g = _kf_view(m, g)
+        pm = search_by_projection(
+            cam, m.kf_Tcw[g],
+            o_xyz, o_desc, own_ok & g_ok,
+            o_normal, o_mind, o_maxd,
+            o_ids, frame_g,
+            radius=3.0, max_hamming=TH_LOW, check_view_cos=True,
+        )
+        return pm.feat_pt  # [N] matched own-point per neighbor feature
+
+    q_r = jax.vmap(rev_one)(nb, nbr_ok)  # [B, N]
+    adopt_r = (q_r >= 0) & (rows_b < 0) & m.kf_kp_valid[nb] \
+        & nbr_ok[:, None]
+    conflict_r = (q_r >= 0) & (rows_b >= 0) & (rows_b != q_r) \
+        & nbr_ok[:, None]
+
+    # ---- one winner/loser resolution over all conflicts.
+    # The winner relation must be a TOTAL ORDER (count, then slot id):
+    # with a plain >= on counts, the forward and reverse directions of
+    # the same duplicate pair would each pick the OTHER point on count
+    # ties and both would be erased.
+    c_mask = jnp.concatenate([conflict_f, conflict_r.reshape(-1)])
+    c_q = jnp.concatenate([q_f, q_r.reshape(-1)])
+    c_row = jnp.concatenate([row_new, rows_b.reshape(-1)])
+    qs, rs = jnp.clip(c_q, 0), jnp.clip(c_row, 0)
+    oq, orr = obs_counts[qs], obs_counts[rs]
+    q_wins = (oq > orr) | ((oq == orr) & (qs < rs))
+    winner = jnp.where(q_wins, qs, rs)
+    loser = jnp.where(q_wins, rs, qs)
+
+    rep = jnp.arange(P, dtype=jnp.int32).at[
+        jnp.where(c_mask, loser, P)
+    ].set(winner, mode="drop")
+    linked = m.kf_pt_idx >= 0
+    new_idx = jnp.where(linked, rep[jnp.clip(m.kf_pt_idx, 0)],
+                        m.kf_pt_idx)
+    # adopts (fresh links; not subject to replace)
+    new_row_new = jnp.where(adopt_f, q_f, new_idx[kf_new])
+    new_idx = new_idx.at[kf_new].set(new_row_new)
+    for b in range(B):  # static unroll, [N]-sized writes
+        r = jnp.where(adopt_r[b], q_r[b], new_idx[nb[b]])
+        r = jnp.where(nbr_ok[b], r, new_idx[nb[b]])
+        new_idx = new_idx.at[nb[b]].set(r)
+
+    lose_mask = jnp.zeros((P,), bool).at[
+        jnp.where(c_mask, loser, P)
+    ].set(True, mode="drop")
+    # a "winner" that also lost a different conflict is dead: links to
+    # it are dropped by the dangling sweep
+    pt_valid = m.pt_valid & ~lose_mask
+    dangling = jnp.where(
+        new_idx >= 0, ~pt_valid[jnp.clip(new_idx, 0)], False
+    )
+    new_idx = jnp.where(dangling, -1, new_idx)
+    n_erased = jnp.sum(lose_mask & m.pt_valid).astype(jnp.int32)
+    m2 = m._replace(
+        kf_pt_idx=new_idx, pt_valid=pt_valid, n_pt=m.n_pt - n_erased
+    )
+    # count maintenance: winners absorb losers (via the DEDUPED loser
+    # mask — the same pair can appear in both directions), losers zero,
+    # adopts +1
+    new_obs = obs_counts.at[jnp.where(lose_mask, rep, P)].add(
+        jnp.where(lose_mask, obs_counts, 0), mode="drop"
+    )
+    new_obs = jnp.where(lose_mask, 0, new_obs)
+    new_obs = new_obs.at[
+        jnp.where(adopt_f, jnp.clip(q_f, 0), P)
+    ].add(1, mode="drop")
+    new_obs = new_obs.at[
+        jnp.where(adopt_r, jnp.clip(q_r, 0), P).reshape(-1)
+    ].add(1, mode="drop")
+    n = jnp.sum(c_mask) + jnp.sum(adopt_f) + jnp.sum(adopt_r)
+    return m2, n, new_obs
+
+
 @f32_matmuls
 @functools.partial(jax.jit, static_argnames=("n_levels",))
 def cull_keyframes(

@@ -39,7 +39,6 @@ from orb_slam2_test_tpu.engine.local_mapping import (
     LocalBACaps,
     cull_keyframes,
     cull_points,
-    fuse_with_neighbor_counted,
     run_local_ba,
     triangulate_with_neighbors,
 )
@@ -466,18 +465,17 @@ def _grow_map_device(cam, cfg, m, frame, Tcw, feat_pt, timestamp,
         m, cam, kf, ids, cap, cfg.n_triangulate_neighbors
     )
     if cfg.enable_fuse:
+        from orb_slam2_test_tpu.engine.local_mapping import fuse_round
         from orb_slam2_test_tpu.slam_map.covisibility import (
             observation_counts,
         )
 
-        obs_counts = observation_counts(m)  # once; fuses maintain it
-        for k in range(cfg.n_triangulate_neighbors):
-            m, _, obs_counts = fuse_with_neighbor_counted(
-                m, cam, kf, ids[k], obs_counts
-            )
-            m, _, obs_counts = fuse_with_neighbor_counted(
-                m, cam, ids[k], kf, obs_counts
-            )
+        # both fuse directions for all neighbors: two batched searches
+        # + one map-wide Replace (vs 2B sequential passes)
+        obs_counts = observation_counts(m)
+        m, _, obs_counts = fuse_round(
+            m, cam, kf, ids, obs_counts, cfg.n_triangulate_neighbors
+        )
 
     window = jnp.concatenate([kf[None], ids])
     m = update_distinctive_descriptors(

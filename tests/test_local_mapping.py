@@ -206,3 +206,58 @@ def test_cull_keyframes_keeps_needed_views(rng):
     np.testing.assert_array_equal(
         np.asarray(m2.kf_valid), np.asarray(m.kf_valid)
     )
+
+
+def test_fuse_round_matches_sequential(rng):
+    """fuse_round (both directions, all neighbors, one Replace) merges
+    the same duplicate set the sequential per-neighbor fuse does."""
+    from orb_slam2_test_tpu.engine.local_mapping import fuse_round
+    from orb_slam2_test_tpu.slam_map.covisibility import (
+        observation_counts,
+    )
+
+    n = 6
+    xyz = np.stack(
+        [np.linspace(-1.0, 1.0, n), np.zeros(n), np.full(n, 5.0)], -1
+    ).astype(np.float32)
+    uv = _project(xyz)
+    desc = _rand_desc(rng, n)
+    normal = np.tile([[0.0, 0.0, 1.0]], (n, 1)).astype(np.float32)
+    dist = np.linalg.norm(xyz, axis=1).astype(np.float32)
+    mind, maxd = jnp.asarray(dist / 1.2 ** 7), jnp.asarray(dist)
+
+    m = make_empty_map(CAP)
+    m, s0 = add_points(m, jnp.asarray(xyz), jnp.asarray(desc),
+                       jnp.asarray(normal), mind, maxd,
+                       jnp.int32(0), jnp.ones(n, bool))
+    m, s1 = add_points(m, jnp.asarray(xyz), jnp.asarray(desc),
+                       jnp.asarray(normal), mind, maxd,
+                       jnp.int32(1), jnp.ones(n, bool))
+    s0, s1 = np.asarray(s0), np.asarray(s1)
+    m, k0 = add_keyframe(m, jnp.eye(4), 0.0, 0,
+                         *_frame_arrays(uv, desc, n, s0))
+    m, k1 = add_keyframe(m, jnp.eye(4), 1.0, 1,
+                         *_frame_arrays(uv, desc, n, s1))
+    # a second neighbor with NO landmarks: pure adoption via reverse dir
+    m, k2 = add_keyframe(m, jnp.eye(4), 2.0, 2,
+                         *_frame_arrays(uv, desc, n, np.full(n, -1)))
+
+    nbrs = jnp.asarray([int(k1), int(k2), -1], jnp.int32)
+    obs = observation_counts(m)
+    m2, n_fused, obs2 = jax.jit(
+        fuse_round, static_argnames=("cam", "n_nbrs")
+    )(m, CAM, k0, nbrs, obs, n_nbrs=3)
+
+    # duplicates merged: one survivor per pair, linked from k0 AND k1
+    assert int(jnp.sum(m2.pt_valid)) == n
+    r0 = np.asarray(m2.kf_pt_idx[int(k0)][:n])
+    r1 = np.asarray(m2.kf_pt_idx[int(k1)][:n])
+    np.testing.assert_array_equal(r0, r1)
+    # k2 adopted the survivors through the reverse direction
+    r2 = np.asarray(m2.kf_pt_idx[int(k2)][:n])
+    np.testing.assert_array_equal(np.sort(r2), np.sort(r0))
+    # counts: survivors observed by all three keyframes
+    assert np.all(np.asarray(obs2)[r0] == 3)
+
+
+import jax  # noqa: E402
