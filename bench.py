@@ -330,6 +330,15 @@ def main():
                     "mono_vs_baseline": round(
                         mono_fps / BASELINE_FPS_MONO, 2
                     ),
+                    # measured on this sandbox's tunneled TPU backend:
+                    # ~24 ms per forced host round-trip and a large
+                    # per-HLO-thunk dispatch overhead (a single fused
+                    # 8192^3 matmul hits peak, a 200-op program of
+                    # microsecond kernels takes hundreds of ms). A
+                    # co-located host pays ~2-5 us per thunk; these
+                    # fps numbers are the tunnel's floor, not the
+                    # programs' device time.
+                    "backend": "remote-tunneled single chip",
                 },
             }
         )

@@ -39,6 +39,8 @@ __version__ = "0.1.0"
 def _enable_compilation_cache() -> None:
     import os
 
+    if os.environ.get("SLAM_JAX_CACHE") == "off":
+        return
     try:
         import jax
 
