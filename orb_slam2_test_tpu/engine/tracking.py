@@ -370,6 +370,35 @@ def _build_and_track_device(cam, cfg, sensor, m, img_a, img_b, timestamp,
     return frame, outs
 
 
+@f32_matmuls
+@functools.partial(jax.jit, static_argnames=("cam", "cfg", "sensor"))
+def _build_and_track_packed(cam, cfg, sensor, m, imgs, depth, packed,
+                            last_feat_pt, last_frame):
+    """_build_and_track_device with all small per-frame host inputs in
+    ONE [35] f32 array (vel 16 | T_cr 16 | timestamp | close_depth |
+    ref_kf) and the stereo pair stacked into one [2, H, W] upload.
+
+    Behind the remote-TPU tunnel every distinct host->device transfer
+    is a blocking round-trip (~100 ms), so CLI per-frame wall time is
+    set by the TRANSFER COUNT, not device time: the unpacked entry's
+    ~7 uploads measured 716 ms median on the kitti00 synth run. This
+    entry needs 2 uploads + 1 readback per mono/stereo frame (3 for
+    RGB-D, whose depth image has a different dtype)."""
+    vel = packed[:16].reshape(4, 4)
+    T_cr = packed[16:32].reshape(4, 4)
+    timestamp = packed[32]
+    close_depth = packed[33]
+    ref_kf = packed[34].astype(jnp.int32)
+    if sensor == "stereo":
+        img_a, img_b = imgs[0], imgs[1]
+    else:
+        img_a, img_b = imgs, depth
+    return _build_and_track_device(
+        cam, cfg, sensor, m, img_a, img_b, timestamp, vel, T_cr,
+        last_feat_pt, last_frame, ref_kf, close_depth,
+    )
+
+
 def _close_counts_body(depth, valid, feat_pt, close_depth):
     """NeedNewKeyFrame close-point statistics (one fused reduction)."""
     is_close = valid & (depth > 0) & (depth < close_depth)
@@ -575,13 +604,13 @@ class Tracker:
         """Main entry — System::TrackMonocular -> GrabImageMonocular."""
         timestamp = self._rel_ts(timestamp)
         self.last_image = np.asarray(img)
-        a = jnp.asarray(img)
         if self._fused_applicable():
             with profiler.span("track_frame_fused"):
                 frame, fused = self._dispatch_images(
-                    "mono", a, a, timestamp
+                    "mono", self.last_image, None, timestamp
                 )
             return self._track(frame, fused=fused)
+        a = jnp.asarray(img)
         with profiler.span("frame_build"):
             frame = build_frame_mono(
                 a,
@@ -599,13 +628,14 @@ class Tracker:
         from orb_slam2_test_tpu.engine.frame import build_frame_stereo
 
         self.last_image = np.asarray(img_left)
-        a, b = jnp.asarray(img_left), jnp.asarray(img_right)
         if self._fused_applicable():
             with profiler.span("track_frame_fused"):
                 frame, fused = self._dispatch_images(
-                    "stereo", a, b, timestamp
+                    "stereo", self.last_image, np.asarray(img_right),
+                    timestamp,
                 )
             return self._track(frame, use_depth=True, fused=fused)
+        a, b = jnp.asarray(img_left), jnp.asarray(img_right)
         with profiler.span("frame_build"):
             frame = build_frame_stereo(
                 a,
@@ -621,14 +651,14 @@ class Tracker:
     def process_image_rgbd(self, img, depth, timestamp: float):
         timestamp = self._rel_ts(timestamp)
         self.last_image = np.asarray(img)
-        a = jnp.asarray(img)
-        d = jnp.asarray(depth, jnp.float32)
         if self._fused_applicable():
             with profiler.span("track_frame_fused"):
                 frame, fused = self._dispatch_images(
-                    "rgbd", a, d, timestamp
+                    "rgbd", self.last_image, np.asarray(depth), timestamp
                 )
             return self._track(frame, use_depth=True, fused=fused)
+        a = jnp.asarray(img)
+        d = jnp.asarray(depth, jnp.float32)
         with profiler.span("frame_build"):
             frame = build_frame_rgbd(
                 a,
@@ -1017,15 +1047,37 @@ class Tracker:
         return T_cr, cd
 
     def _dispatch_images(self, sensor: str, img_a, img_b, timestamp):
-        """Fused build+track: ONE dispatch, one round-trip (see
-        _build_and_track_device). Returns (frame, (handled, ok))."""
-        T_cr, cd = self._fused_inputs()
-        frame, outs = _build_and_track_device(
-            self.cam, self.cfg, sensor, self.map,
-            img_a, img_b, jnp.asarray(timestamp, jnp.float32),
-            jnp.asarray(self.velocity), jnp.asarray(T_cr),
-            self.last_feat_pt, self.last_frame,
-            jnp.asarray(self.ref_kf, jnp.int32), cd,
+        """Fused build+track with minimum transfer count (see
+        _build_and_track_packed). img_a/img_b are HOST arrays here; the
+        uploads happen inside so they can be packed. Returns
+        (frame, (handled, ok))."""
+        T_cr = self._T_cr_last
+        if T_cr is None:
+            T_cr = (
+                self.last_Tcw @ np.linalg.inv(self._ref_Tcw_host)
+                if self._ref_Tcw_host is not None
+                else np.eye(4)
+            )
+        packed = np.empty(35, np.float32)
+        packed[:16] = np.asarray(self.velocity, np.float32).ravel()
+        packed[16:32] = np.asarray(T_cr, np.float32).ravel()
+        packed[32] = timestamp
+        packed[33] = (
+            self.close_depth if self.close_depth is not None else 0.0
+        )
+        packed[34] = self.ref_kf
+        if sensor == "stereo":
+            imgs = jnp.asarray(np.stack([img_a, img_b]))
+            dep = imgs
+        elif sensor == "mono":
+            imgs = jnp.asarray(img_a)
+            dep = imgs
+        else:  # rgbd: the depth map's dtype differs — separate upload
+            imgs = jnp.asarray(img_a)
+            dep = jnp.asarray(img_b, jnp.float32)
+        frame, outs = _build_and_track_packed(
+            self.cam, self.cfg, sensor, self.map, imgs, dep,
+            jnp.asarray(packed), self.last_feat_pt, self.last_frame,
         )
         return frame, self._consume_fused(outs)
 

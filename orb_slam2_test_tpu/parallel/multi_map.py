@@ -321,6 +321,32 @@ def measure_scaling(
     merged = merge_problems(
         [parts[i] for i in live], [cams[i] for i in live]
     )
+    return measure_scaling_problem(
+        merged.prob, merged.cam, iters=iters,
+        device_counts=device_counts, repeats=repeats,
+    )
+
+
+def measure_scaling_problem(
+    prob,
+    cam: PinholeCamera,
+    iters: int = 8,
+    device_counts: Seq[int] | None = None,
+    repeats: int = 3,
+) -> dict:
+    """Timing core of measure_scaling, on an already-built BAProblem
+    (used directly by examples/dist_ba_scaling.py --synthetic)."""
+    import jax
+
+    n_avail = len(jax.devices())
+    if device_counts is None:
+        device_counts = [n for n in (1, 2, 4, 8, 16) if n <= n_avail]
+
+    class _Merged:  # keep the loop below unchanged
+        pass
+
+    merged = _Merged()
+    merged.prob, merged.cam = prob, cam
 
     results = {}
     shard_results = {}
