@@ -104,10 +104,11 @@ def main() -> int:
     p.add_argument("--synth-pts", type=int, default=90000)
     p.add_argument("--synth-obs-per-pt", type=int, default=5)
     p.add_argument("--pin-threads", action="store_true",
-                   help="pin XLA CPU intra-op parallelism to 1 thread so "
-                        "the 1-device baseline is honestly single-core "
-                        "(virtual devices otherwise share the host's "
-                        "physical cores, understating strong scaling)")
+                   help="pin this process to ONE physical core "
+                        "(sched_setaffinity) so the 1-device baseline is "
+                        "honestly single-core (virtual devices otherwise "
+                        "share the host's physical cores, understating "
+                        "strong scaling)")
     p.add_argument("--cpu-devices", type=int, default=0,
                    help="run on a virtual CPU mesh of this many devices"
                         " (0 = use the real accelerator devices)")
@@ -117,6 +118,15 @@ def main() -> int:
     p.add_argument("--out", default=None, help="write the JSON report")
     args = p.parse_args()
 
+    if not args.synthetic and not args.checkpoints:
+        p.error("--checkpoints or --synthetic required")
+
+    if args.pin_threads:
+        # OS-level pinning beats XLA flags: it needs no knowledge of
+        # which --xla_* tokens the installed jaxlib accepts, and it
+        # also constrains Eigen/openmp pools. Must happen before the
+        # backend spins up its thread pool (i.e. before jax import).
+        os.sched_setaffinity(0, {sorted(os.sched_getaffinity(0))[0]})
     if args.cpu_devices > 0:
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
@@ -125,12 +135,6 @@ def main() -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    if args.pin_threads:
-        os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "")
-            + " --xla_cpu_multi_thread_eigen=false"
-            + " intra_op_parallelism_threads=1"
-        )
     import jax
 
     from orb_slam2_test_tpu.geometry.camera import PinholeCamera
@@ -140,7 +144,6 @@ def main() -> int:
     print(f"devices: {jax.devices()}")
 
     if args.synthetic:
-        import json as _json
         from orb_slam2_test_tpu.parallel.multi_map import measure_scaling_problem
 
         prob, cam = synthetic_problem(

@@ -1032,7 +1032,8 @@ class Tracker:
         # reference Tracking::UpdateLastFrame: the last frame's pose is
         # re-expressed against the CURRENT reference-keyframe pose (the
         # device program composes T_cr @ kf_Tcw[ref_kf]); T_cr is the
-        # relative pose captured when the frame was tracked
+        # relative pose captured when the frame was tracked. Host-side
+        # values, shared by both fused dispatch paths.
         T_cr = self._T_cr_last
         if T_cr is None:
             T_cr = (
@@ -1040,10 +1041,7 @@ class Tracker:
                 if self._ref_Tcw_host is not None
                 else np.eye(4)
             )
-        cd = jnp.asarray(
-            self.close_depth if self.close_depth is not None else 0.0,
-            jnp.float32,
-        )
+        cd = self.close_depth if self.close_depth is not None else 0.0
         return T_cr, cd
 
     def _dispatch_images(self, sensor: str, img_a, img_b, timestamp):
@@ -1051,20 +1049,12 @@ class Tracker:
         _build_and_track_packed). img_a/img_b are HOST arrays here; the
         uploads happen inside so they can be packed. Returns
         (frame, (handled, ok))."""
-        T_cr = self._T_cr_last
-        if T_cr is None:
-            T_cr = (
-                self.last_Tcw @ np.linalg.inv(self._ref_Tcw_host)
-                if self._ref_Tcw_host is not None
-                else np.eye(4)
-            )
+        T_cr, cd = self._fused_inputs()
         packed = np.empty(35, np.float32)
         packed[:16] = np.asarray(self.velocity, np.float32).ravel()
         packed[16:32] = np.asarray(T_cr, np.float32).ravel()
         packed[32] = timestamp
-        packed[33] = (
-            self.close_depth if self.close_depth is not None else 0.0
-        )
+        packed[33] = cd
         packed[34] = self.ref_kf
         if sensor == "stereo":
             imgs = jnp.asarray(np.stack([img_a, img_b]))
@@ -1095,7 +1085,8 @@ class Tracker:
             self.cam, self.cfg, self.map, frame,
             jnp.asarray(self.velocity), jnp.asarray(T_cr),
             self.last_feat_pt, self.last_frame,
-            jnp.asarray(self.ref_kf, jnp.int32), cd,
+            jnp.asarray(self.ref_kf, jnp.int32),
+            jnp.asarray(cd, jnp.float32),
         )
         return self._consume_fused(outs)
 
