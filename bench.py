@@ -159,7 +159,7 @@ def _kitti_chain(n_steps: int, with_kf: bool):
             )
             Tcw_l, new_feat = outs[5], outs[7]
             if with_kf:
-                m, _, _ = jax.lax.cond(
+                m, _, _, _ = jax.lax.cond(
                     (i % KF_EVERY) == (KF_EVERY - 1),
                     lambda m: _grow_map_device(
                         cam, cfg, m, frame, Tcw_l, new_feat,
@@ -169,6 +169,7 @@ def _kitti_chain(n_steps: int, with_kf: bool):
                         m,
                         jnp.asarray(-1, jnp.int32),
                         jnp.asarray(-1, jnp.int32),
+                        m.n_pt,
                     ),
                     m,
                 )

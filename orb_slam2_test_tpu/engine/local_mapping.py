@@ -38,7 +38,6 @@ from orb_slam2_test_tpu.slam_map.covisibility import (
     covisibility_weights,
     observation_counts,
 )
-from orb_slam2_test_tpu.solvers.ba_core import BAProblem, bundle_adjust
 
 
 @dataclasses.dataclass(frozen=True)
@@ -291,18 +290,34 @@ def run_local_ba(
     kf_id: jax.Array,
     cap: MapCapacity,
     caps: LocalBACaps = LocalBACaps(),
+    covis_row: jax.Array | None = None,
 ) -> MapState:
     """Covisibility-local bundle adjustment
     (Optimizer::LocalBundleAdjustment): optimize the current KF + its
     covisible KFs + all their points; keyframes observing those points
     but outside the local set are included fixed. Outlier observations
     are detached afterwards.
+
+    The LM core runs on the dense [Q, C] observation grid
+    (solvers/ba_grid.py) — scatter-free per iteration; the grid is
+    assembled here with one scatter. `covis_row` optionally passes
+    kf_id's precomputed [K] covisibility weights (the insertion
+    pipeline computes them once and threads them through its stages).
     """
+    from orb_slam2_test_tpu.solvers.ba_grid import (
+        GridBAProblem,
+        grid_bundle_adjust,
+    )
+
     K_cap, N = m.kf_pt_idx.shape
     P = m.pt_valid.shape[0]
 
     # local keyframes: self + best covisible
-    ids, w = best_covisible(m, kf_id, caps.n_local - 1)
+    if covis_row is None:
+        ids, w = best_covisible(m, kf_id, caps.n_local - 1)
+    else:
+        w, ids = jax.lax.top_k(covis_row, min(caps.n_local - 1, K_cap))
+        ids = jnp.where(w > 0, ids, -1)
     local_ids = jnp.concatenate([kf_id[None], jnp.where(w > 0, ids, -1)])
     local_mask = jnp.zeros((K_cap,), bool).at[
         jnp.where(local_ids >= 0, local_ids, K_cap)
@@ -360,7 +375,8 @@ def run_local_ba(
     # KFs with mnId <= 1... it fixes pKF->mnId==0 via setFixed on id<=1)
     cam_fixed = cam_fixed | (cam_ids == 0) | ~cam_ok
 
-    # observations: all features of the C cams that map to selected points
+    # observations: all features of the C cams that map to selected
+    # points, assembled onto the dense [Q, C] grid with ONE scatter
     kf_rows = m.kf_pt_idx[cam_safe]  # [C, N]
     q_idx = inv_map[jnp.clip(kf_rows, 0)]  # [C, N]
     obs_ok = (
@@ -374,20 +390,36 @@ def run_local_ba(
     uvr = jnp.concatenate([uv, ur[..., None]], axis=-1)
     isig2 = 1.0 / jnp.asarray(cap.level_sigma2)[m.kf_level[cam_safe]]
 
-    prob = BAProblem(
+    Qb = caps.n_points
+    cam_rows = jnp.broadcast_to(
+        jnp.arange(C, dtype=jnp.int32)[:, None], (C, N)
+    )
+    tgt_q = jnp.where(obs_ok, q_idx, Qb)  # OOB rows dropped
+    packed = jnp.concatenate([uvr, isig2[..., None]], axis=-1)
+    grid4 = jnp.zeros((Qb, C, 4)).at[tgt_q, cam_rows].set(
+        packed, mode="drop"
+    )
+    gvalid = jnp.zeros((Qb, C), bool).at[tgt_q, cam_rows].set(
+        True, mode="drop"
+    )
+    # invalid cells carry uvr = 0 => ur = 0 >= 0 would read as stereo;
+    # force them monocular so garbage cells cannot trip stereo residual
+    # paths (they are w = 0 anyway, this keeps chi2 finite)
+    guvr = grid4[..., :3]
+    guvr = jnp.where(gvalid[..., None], guvr,
+                     jnp.asarray([0.0, 0.0, -1.0]))
+    prob = GridBAProblem(
         cam_Tcw=m.kf_Tcw[cam_safe],
         cam_fixed=cam_fixed,
         pt_xyz=m.pt_xyz[jnp.clip(sel_pts, 0)],
         pt_valid=sel_valid,
-        obs_cam=jnp.broadcast_to(
-            jnp.arange(C, dtype=jnp.int32)[:, None], (C, N)
-        ).reshape(-1),
-        obs_pt=jnp.clip(q_idx, 0).reshape(-1),
-        obs_uvr=uvr.reshape(-1, 3),
-        obs_isig2=isig2.reshape(-1),
-        obs_valid=obs_ok.reshape(-1),
+        obs_uvr=guvr,
+        obs_isig2=grid4[..., 3],
+        obs_valid=gvalid,
     )
-    res = bundle_adjust(prob, cam, iters1=caps.iters1, iters2=caps.iters2)
+    res = grid_bundle_adjust(
+        prob, cam, iters1=caps.iters1, iters2=caps.iters2
+    )
 
     # write back poses (local, valid, non-fixed) and points
     upd_cam = cam_ok & ~cam_fixed
@@ -398,8 +430,9 @@ def run_local_ba(
         res.pt_xyz, mode="drop"
     )
 
-    # detach outlier observations (reference erases chi2-outlier edges)
-    inl = res.obs_inlier.reshape(C, N)
+    # detach outlier observations (reference erases chi2-outlier edges):
+    # gather each feature's grid cell back
+    inl = res.obs_inlier[jnp.clip(q_idx, 0), cam_rows]  # [C, N]
     detach = obs_ok & ~inl
     rows = m.kf_pt_idx[cam_safe]
     rows = jnp.where(detach, -1, rows)
@@ -670,6 +703,7 @@ def cull_keyframes(
     kf_id: jax.Array,
     n_levels: int = 8,
     redundancy: float = 0.9,
+    covis_row: jax.Array | None = None,
 ) -> tuple[MapState, jax.Array]:
     """Erase at most ONE redundant covisible keyframe of `kf_id`
     (LocalMapping::KeyFrameCulling): a keyframe is redundant when >90%
@@ -677,6 +711,11 @@ def cull_keyframes(
     same or finer pyramid scale (level <= l+1). One per call mirrors
     the reference's sequential loop and avoids erasing two keyframes
     that were each other's only redundancy.
+
+    `covis_row` optionally passes kf_id's precomputed [K] covisibility
+    weights. The erase + spanning-tree/ref-point repair runs under a
+    lax.cond — most insertions cull nothing, so the expensive map-wide
+    repair scatters are skipped on the common path.
 
     Returns (map, culled_kf_id or -1)."""
     K, N = m.kf_pt_idx.shape
@@ -705,7 +744,10 @@ def cull_keyframes(
 
     # candidates: covisible keyframes of kf_id (weight >= 15), never the
     # origin keyframe 0 and never kf_id itself
-    w = covisibility_weights(m, kf_id[None])[0]  # [K]
+    if covis_row is None:
+        w = covisibility_weights(m, kf_id[None])[0]  # [K]
+    else:
+        w = covis_row
     cand = (
         kf_redundant
         & (w >= 15)
@@ -719,34 +761,40 @@ def cull_keyframes(
     victim = jnp.argmax(score)
     any_cand = jnp.any(cand)
 
-    m_culled = erase_keyframe(m, victim)
-    # re-home points whose reference keyframe was culled to their first
-    # surviving observer (keeps loop-correction ref chains valid)
-    linked2 = (m_culled.kf_pt_idx >= 0) & m_culled.kf_kp_valid
-    flat2 = jnp.where(linked2, jnp.clip(m_culled.kf_pt_idx, 0), P).reshape(-1)
-    kf_of = jnp.broadcast_to(
-        jnp.arange(K, dtype=jnp.int32)[:, None], (K, N)
-    ).reshape(-1)
-    first_obs = jnp.full((P + 1,), K, jnp.int32).at[flat2].min(
-        kf_of, mode="drop"
-    )
-    orphan = (m_culled.pt_ref_kf == victim) & m_culled.pt_valid
-    new_ref = jnp.where(
-        orphan,
-        jnp.where(first_obs[:P] < K, first_obs[:P], -1),
-        m_culled.pt_ref_kf,
-    )
-    m_culled = m_culled._replace(pt_ref_kf=new_ref)
+    def do_cull(m):
+        m_culled = erase_keyframe(m, victim)
+        # re-home points whose reference keyframe was culled to their
+        # first surviving observer (keeps loop-correction ref chains
+        # valid)
+        linked2 = (m_culled.kf_pt_idx >= 0) & m_culled.kf_kp_valid
+        flat2 = jnp.where(
+            linked2, jnp.clip(m_culled.kf_pt_idx, 0), P
+        ).reshape(-1)
+        kf_of = jnp.broadcast_to(
+            jnp.arange(K, dtype=jnp.int32)[:, None], (K, N)
+        ).reshape(-1)
+        first_obs = jnp.full((P + 1,), K, jnp.int32).at[flat2].min(
+            kf_of, mode="drop"
+        )
+        orphan = (m_culled.pt_ref_kf == victim) & m_culled.pt_valid
+        new_ref = jnp.where(
+            orphan,
+            jnp.where(first_obs[:P] < K, first_obs[:P], -1),
+            m_culled.pt_ref_kf,
+        )
+        return m_culled._replace(pt_ref_kf=new_ref)
 
-    m_out = jax.tree.map(
-        lambda a, b: jnp.where(any_cand, a, b), m_culled, m
-    )
+    m_out = jax.lax.cond(any_cand, do_cull, lambda m: m, m)
     return m_out, jnp.where(any_cand, victim, -1)
 
 
 @f32_matmuls
 @functools.partial(jax.jit, static_argnames=())
-def cull_points(m: MapState, current_kf: jax.Array) -> MapState:
+def cull_points(
+    m: MapState,
+    current_kf: jax.Array,
+    obs_counts: jax.Array | None = None,
+) -> MapState:
     """MapPointCulling: drop points with found-ratio < 0.25 or points
     that are >= 2 keyframes old but observed by fewer than 2 keyframes
     (mono thresholds; reference LocalMapping::MapPointCulling).
@@ -757,8 +805,12 @@ def cull_points(m: MapState, current_kf: jax.Array) -> MapState:
     pt_first_kf stores the creating keyframe's frame id and the elapsed
     insertions are counted by rank over the live keyframes' frame ids
     (sort + searchsorted — culled keyframes drop out of the count,
-    which only makes the age smaller, i.e. more lenient)."""
-    obs_n = observation_counts(m)
+    which only makes the age smaller, i.e. more lenient).
+
+    `obs_counts` optionally passes precomputed [P] observation counts
+    (the insertion pipeline maintains them incrementally through
+    fuse_round instead of paying the [K, N] recount scatter here)."""
+    obs_n = observation_counts(m) if obs_counts is None else obs_counts
     found_ratio = m.pt_found / jnp.maximum(m.pt_visible, 1.0)
     K = m.kf_valid.shape[0]
     big = jnp.iinfo(jnp.int32).max

@@ -49,7 +49,7 @@ from orb_slam2_test_tpu.slam_map.mapstate import (
     add_points,
     make_empty_map,
 )
-from orb_slam2_test_tpu.slam_map.covisibility import assign_parent, best_covisible
+from orb_slam2_test_tpu.slam_map.covisibility import assign_parent
 from orb_slam2_test_tpu.solvers.initializer import initialize_mono
 from orb_slam2_test_tpu.solvers.pose_opt import pose_optimization
 from orb_slam2_test_tpu.utils.profiling import profiler
@@ -82,6 +82,13 @@ class TrackerConfig:
     min_local_inliers: int = 30
     min_depth_init_points: int = 500  # reference StereoInitialization
     max_frames_between_kf: int = 30
+    # reference mMinFrames (0 in the ctor): lower bound on frames since
+    # the last keyframe for the mapper-idle trigger (condition c1b)
+    min_frames_between_kf: int = 0
+    # in-flight keyframe-insertion programs allowed before tracking
+    # must wait (reference NeedNewKeyFrame: stereo/RGB-D may insert
+    # while the mapper is busy if KeyframesInQueue() < 3; mono never)
+    kf_queue_depth: int = 2
     kf_ref_ratio: float = 0.9  # reference thRefRatio (0.9 mono, 0.75 stereo)
     th_depth: float = 35.0  # ThDepth: close/far point threshold, x baseline
     # close-point-deficit keyframe trigger (reference NeedNewKeyFrame:
@@ -468,6 +475,11 @@ def _grow_map_device(cam, cfg, m, frame, Tcw, feat_pt, timestamp,
         update_normals_and_depth,
     )
 
+    from orb_slam2_test_tpu.slam_map.covisibility import (
+        covisibility_weights,
+        observation_counts,
+    )
+
     cap = cfg.map_capacity
     m_in = m
     m, kf = add_keyframe(
@@ -481,27 +493,34 @@ def _grow_map_device(cam, cfg, m, frame, Tcw, feat_pt, timestamp,
     # guard keeps a race from overwriting keyframe 0, the gauge anchor)
     kf_ok = kf >= 0
     kf = jnp.clip(kf, 0)
-    m = assign_parent(m, kf)
     if use_depth:
+        # depth points are observed ONLY by kf, so they do not change
+        # covisibility — the weight row computed after them serves the
+        # parent assignment too
         m = _add_depth_points_body(
             cam, cfg, m, frame, kf, close_depth, close_gate
         )
-
-    ids, _w = best_covisible(m, kf, cfg.n_triangulate_neighbors)
+    # covisibility weights of the new keyframe, computed ONCE and
+    # threaded through parent assignment + triangulation-neighbor
+    # selection (each used to recompute the same [K, N] reduction)
+    w_row = covisibility_weights(m, kf[None])[0]
+    m = assign_parent(m, kf, covis_row=w_row)
+    _w, ids = jax.lax.top_k(w_row, cfg.n_triangulate_neighbors)
+    ids = jnp.where(_w > 0, ids, -1)
     # all neighbors triangulated in ONE batched program (one free-slot
     # allocation instead of one per neighbor)
     m, _ = triangulate_with_neighbors(
         m, cam, kf, ids, cap, cfg.n_triangulate_neighbors
     )
+    # observation counts after triangulation, maintained incrementally
+    # through fuse and threaded into point culling (recounting is a
+    # [K, N] scatter each time)
+    obs_counts = observation_counts(m)
     if cfg.enable_fuse:
         from orb_slam2_test_tpu.engine.local_mapping import fuse_round
-        from orb_slam2_test_tpu.slam_map.covisibility import (
-            observation_counts,
-        )
 
         # both fuse directions for all neighbors: two batched searches
         # + one map-wide Replace (vs 2B sequential passes)
-        obs_counts = observation_counts(m)
         m, _, obs_counts = fuse_round(
             m, cam, kf, ids, obs_counts, cfg.n_triangulate_neighbors
         )
@@ -510,14 +529,26 @@ def _grow_map_device(cam, cfg, m, frame, Tcw, feat_pt, timestamp,
     m = update_distinctive_descriptors(
         m, window, window=cfg.n_triangulate_neighbors + 1
     )
-    m = update_normals_and_depth(
-        m, scale_factor=cfg.scale_factor, n_levels=cfg.n_levels
+    # refresh the weight row: triangulation + fusion added shared
+    # observations (the BA window and cull candidates see them)
+    w_row = covisibility_weights(m, kf[None])[0]
+    _wm, maint_ids = jax.lax.top_k(w_row, min(
+        cfg.local_kf_cap, w_row.shape[0]
+    ))
+    maint_window = jnp.concatenate(
+        [kf[None], jnp.where(_wm > 0, maint_ids, -1)]
     )
-    m = cull_points(m, kf)
+    m = update_normals_and_depth(
+        m, scale_factor=cfg.scale_factor, n_levels=cfg.n_levels,
+        kf_window=maint_window,
+    )
+    m = cull_points(m, kf, obs_counts=obs_counts)
     if cfg.enable_local_ba:
-        m = run_local_ba(m, cam, kf, cap, cfg.ba_caps)
+        m = run_local_ba(m, cam, kf, cap, cfg.ba_caps, covis_row=w_row)
     if cfg.enable_kf_culling:
-        m, culled = cull_keyframes(m, kf, n_levels=cfg.n_levels)
+        m, culled = cull_keyframes(
+            m, kf, n_levels=cfg.n_levels, covis_row=w_row
+        )
     else:
         culled = jnp.asarray(-1, jnp.int32)
     m = jax.tree.map(lambda a, b: jnp.where(kf_ok, a, b), m, m_in)
@@ -525,6 +556,7 @@ def _grow_map_device(cam, cfg, m, frame, Tcw, feat_pt, timestamp,
         m,
         jnp.where(kf_ok, kf, -1),
         jnp.where(kf_ok, culled, -1),
+        m.n_pt,  # host point-capacity mirror refresh (synced at flush)
     )
 
 
@@ -567,13 +599,14 @@ class Tracker:
         self._ref_Tcw_host = None  # host cache of kf_Tcw[ref_kf]
         self.frames_since_kf = 0
         self.frame_id = 0
+        self._n_pt_host = 0  # point count at last backend flush
         self.last_diag = {}  # per-frame match/inlier counts (host)
         # last tracked frame's pose relative to its reference keyframe
         # (host 4x4) — the motion model re-anchors through it
         self._T_cr_last = None
         self.n_live_kf = 0  # host mirror of live keyframe slots
         self._warned_kf_capacity = False
-        self._pending_kf = None  # deferred (kf, culled) device scalars
+        self._pending_kf = []  # deferred (kf, culled) device scalars, FIFO
         self._ref_is_new_kf = False  # this frame created its ref KF
         self.trajectory = []  # (timestamp, Tcw np [4,4]) per tracked frame
         # loop-consistent export: (timestamp, ref_kf, T_cr) with
@@ -795,8 +828,9 @@ class Tracker:
         self.ref_kf_tracked = 0
         self.frames_since_kf = 0
         self.n_live_kf = 0
+        self._n_pt_host = 0
         self._warned_kf_capacity = False
-        self._pending_kf = None
+        self._pending_kf = []
         self._ref_is_new_kf = False
         self._T_cr_last = None
         self.trajectory = []
@@ -955,6 +989,7 @@ class Tracker:
         self.frames_since_kf = 0
         self.stats["n_kf"] = 2
         self.n_live_kf = 2
+        self._n_pt_host = self.ref_kf_tracked
         self.last_feat_pt = row1
         self._T_cr_last = np.eye(4)
         self.velocity = None
@@ -993,6 +1028,7 @@ class Tracker:
         self.frames_since_kf = 0
         self.stats["n_kf"] = 1
         self.n_live_kf = 1
+        self._n_pt_host = self.ref_kf_tracked
         self.last_feat_pt = row
         self._T_cr_last = np.eye(4)
         self.last_Tcw = np.eye(4)
@@ -1231,47 +1267,91 @@ class Tracker:
     # ------------------------------------------------------------------
     # Keyframe insertion + local mapping
     # ------------------------------------------------------------------
+    def _mapper_idle(self) -> bool:
+        """Whether all dispatched insertion programs have completed on
+        the device (the analog of LocalMapping::AcceptKeyFrames() —
+        the reference's mapper thread flips it false while processing a
+        keyframe). Non-blocking: polls the newest in-flight program's
+        output scalar."""
+        if not self._pending_kf:
+            return True
+        kf = self._pending_kf[-1][0]
+        try:
+            return bool(kf.is_ready())
+        except AttributeError:  # backend without readiness polling
+            return False
+
     def _maybe_insert_keyframe(self, frame: FrameData, use_depth: bool):
-        need = False
-        if self.frames_since_kf >= self.cfg.max_frames_between_kf:
-            need = True
-        # visual-odometry mode: the frame tracked on temporal depth
-        # points because the map does not cover this area — insert a
-        # keyframe NOW so its depth points extend the map (reference
-        # NeedNewKeyFrame's mbVO/close-deficit intent; the ratio gates
-        # below cannot fire with near-zero map matches)
-        if self.last_diag.get("vo_mode") and self.frames_since_kf >= 1:
-            need = True
+        """NeedNewKeyFrame (reference Tracking.cc:~860): the decision is
+        (c1a | c1b | c1c) & c2 with
+
+          c1a: >= mMaxFrames since the last keyframe
+          c1b: >= mMinFrames since the last keyframe AND the mapper is
+               idle (async insert programs all completed)
+          c1c: [stereo/RGB-D] tracking weak (< 25% of reference KF) or
+               close-point deficit
+          c2:  tracked ratio below thRefRatio or close-point deficit,
+               with > min matches (insertion must be useful)
+
+        plus the VO-mode forced trigger. A busy mapper defers insertion
+        (mono) or allows a bounded queue (depth sensors, reference
+        queue-size < 3)."""
+        cfg = self.cfg
         ref_tracked = max(self.ref_kf_tracked, 1)
-        if (
-            self.n_tracked < self.cfg.kf_ref_ratio * ref_tracked
-            and self.n_tracked > self.cfg.min_track_matches
-        ):
-            need = True
-        # stereo/RGB-D close-point deficit (reference NeedNewKeyFrame:
-        # bNeedToInsertClose = nTrackedClose < 100 && nNonTrackedClose > 70)
-        if not need and use_depth and self.close_depth is not None:
+        close_deficit = False
+        if use_depth and self.close_depth is not None:
             if self._close_counts is not None:  # fused path computed it
-                n_tracked_close, n_untracked_close = self._close_counts
+                n_tc, n_uc = self._close_counts
             else:
-                n_tracked_close, n_untracked_close = jax.device_get(
+                n_tc, n_uc = jax.device_get(
                     _close_counts_device(
                         frame.depth, frame.valid, self.cur_feat_pt,
                         self.close_depth,
                     )
                 )
-            if (
-                int(n_tracked_close) < self.cfg.kf_close_tracked_max
-                and int(n_untracked_close) > self.cfg.kf_close_untracked_min
-                and self.n_tracked > self.cfg.min_track_matches
-            ):
-                need = True
+            close_deficit = (
+                int(n_tc) < cfg.kf_close_tracked_max
+                and int(n_uc) > cfg.kf_close_untracked_min
+            )
+        # visual-odometry mode: the frame tracked on temporal depth
+        # points because the map does not cover this area — insert a
+        # keyframe NOW so its depth points extend the map (reference
+        # NeedNewKeyFrame's mbVO/close-deficit intent; the ratio gates
+        # below cannot fire with near-zero map matches)
+        vo_force = bool(
+            self.last_diag.get("vo_mode")
+        ) and self.frames_since_kf >= 1
+
+        mapper_idle = self._mapper_idle()
+        c1a = self.frames_since_kf >= cfg.max_frames_between_kf
+        c1b = (
+            self.frames_since_kf >= cfg.min_frames_between_kf
+            and mapper_idle
+        )
+        c1c = use_depth and (
+            self.n_tracked < 0.25 * ref_tracked or close_deficit
+        )
+        c2 = (
+            self.n_tracked < cfg.kf_ref_ratio * ref_tracked
+            or close_deficit
+        ) and self.n_tracked > cfg.min_track_matches
+        need = ((c1a or c1b or c1c) and c2) or vo_force
         if not need:
             return
-        # resolve the PREVIOUS keyframe's deferred work (loop closing,
-        # cull bookkeeping) before growing the map again — keyframes
+        if not mapper_idle:
+            # busy mapper: mono defers to a later frame; depth sensors
+            # may queue a bounded number of inserts (reference's
+            # queue-size gate) — the device chains them after the
+            # in-flight program
+            if not (
+                use_depth and len(self._pending_kf) < cfg.kf_queue_depth
+            ):
+                return
+        # bound the in-flight pipeline; resolving an entry also runs its
+        # deferred work (loop closing, cull bookkeeping) — keyframes
         # reach the place-recognition database in insertion order
-        self.flush_backend()
+        while len(self._pending_kf) >= cfg.kf_queue_depth:
+            self._flush_one()
         # capacity management (the reference heap-allocates keyframes
         # and points — Map.cc is unbounded; here shapes are static):
         # when near-full, first run a standalone cull pass (the
@@ -1282,9 +1362,22 @@ class Tracker:
             self._cull_standalone()
         if self.n_live_kf >= self.cfg.max_keyframes - 1:
             self._grow_capacity(max_keyframes=2 * self.cfg.max_keyframes)
-        n_pt_live = int(jax.device_get(self.map.n_pt))
-        if n_pt_live >= int(0.85 * self.cfg.max_points):
-            self._grow_capacity(max_points=2 * self.cfg.max_points)
+        # point-capacity gate WITHOUT a device sync (a device_get of
+        # n_pt here would block on every queued program and defeat the
+        # async pipeline): host mirror from the last flush plus a 2N
+        # upper bound per un-flushed insert (depth points +
+        # triangulation each add at most n_features)
+        bound = self._n_pt_host + 2 * self.cfg.n_features * (
+            len(self._pending_kf) + 1
+        )
+        if bound >= int(0.85 * self.cfg.max_points):
+            self.flush_backend()
+            self._n_pt_host = int(jax.device_get(self.map.n_pt))
+            if (
+                self._n_pt_host + 2 * self.cfg.n_features
+                >= int(0.85 * self.cfg.max_points)
+            ):
+                self._grow_capacity(max_points=2 * self.cfg.max_points)
 
         # the whole insertion pipeline (add KF + parent + depth points +
         # triangulation + fusion + maintenance + local BA + culling) is
@@ -1295,7 +1388,7 @@ class Tracker:
         # (their device programs queue after the bounded-size BA) and
         # the scalar results (kf id, culled id) are not synced until the
         # NEXT keyframe decision needs them (flush_backend above).
-        m, kf, culled = _grow_map_device(
+        m, kf, culled, n_pt_after = _grow_map_device(
             self.cam, self.cfg, self.map, frame,
             jnp.asarray(self.last_Tcw), self.cur_feat_pt,
             jnp.asarray(frame.timestamp, jnp.float32),
@@ -1321,7 +1414,7 @@ class Tracker:
         self.cur_feat_pt = m.kf_pt_idx[kf]
         # ref-KF pose cache is stale: new ref + BA/loop moved poses
         self._ref_Tcw_host = None
-        self._pending_kf = (kf, culled)
+        self._pending_kf.append((kf, culled, n_pt_after))
         if not self.cfg.async_backend:
             self.flush_backend()
 
@@ -1362,18 +1455,23 @@ class Tracker:
         self.map = grow_map(self.map, old_cap, self.cap)
 
     def flush_backend(self) -> None:
-        """Resolve the deferred keyframe pipeline: sync the (kf, culled)
-        scalars of the last insertion, apply cull bookkeeping, and run
-        loop closing for that keyframe (reference: the LocalMapping /
-        LoopClosing threads consuming the keyframe queue). Called before
-        the next keyframe decision, before relocalization (the keyframe
-        must be in the place-recognition database), and before any
-        export/checkpoint. Safe to call at any time."""
-        if self._pending_kf is None:
+        """Resolve ALL deferred keyframe pipelines: sync the (kf,
+        culled) scalars of every in-flight insertion, apply cull
+        bookkeeping, and run loop closing per keyframe in insertion
+        order (reference: the LocalMapping / LoopClosing threads
+        consuming the keyframe queue). Called before relocalization
+        (the keyframe must be in the place-recognition database) and
+        before any export/checkpoint. Safe to call at any time."""
+        while self._pending_kf:
+            self._flush_one()
+
+    def _flush_one(self) -> None:
+        """Resolve the OLDEST in-flight keyframe insertion."""
+        if not self._pending_kf:
             return
-        kf, culled = self._pending_kf
-        self._pending_kf = None
-        kf, culled = jax.device_get((kf, culled))
+        kf, culled, n_pt_after = self._pending_kf.pop(0)
+        kf, culled, n_pt_after = jax.device_get((kf, culled, n_pt_after))
+        self._n_pt_host = int(n_pt_after)
         kf = int(kf)
         culled = int(culled)
         if kf < 0:

@@ -116,6 +116,8 @@ class SlamSettings:
     n_triangulate_neighbors: Optional[int] = None
     ba_fixed_cap: Optional[int] = None
     max_frames_between_kf: Optional[int] = None
+    min_frames_between_kf: Optional[int] = None
+    kf_queue_depth: Optional[int] = None
     enable_local_ba: Optional[int] = None  # 0/1 (debug/ablation switch)
     enable_fuse: Optional[int] = None  # 0/1 (debug/ablation switch)
     enable_kf_culling: Optional[int] = None  # 0/1 (debug/ablation switch)
@@ -154,6 +156,7 @@ class SlamSettings:
             "min_track_matches", "min_local_inliers",
             "min_depth_init_points", "n_triangulate_neighbors",
             "ba_fixed_cap", "max_frames_between_kf",
+            "min_frames_between_kf", "kf_queue_depth",
         ):
             v = getattr(self, f)
             if v is not None:
@@ -204,6 +207,8 @@ _KEYMAP = {
     "Tracker.nTriangulateNeighbors": "n_triangulate_neighbors",
     "Tracker.baFixedCap": "ba_fixed_cap",
     "Tracker.maxFramesBetweenKF": "max_frames_between_kf",
+    "Tracker.minFramesBetweenKF": "min_frames_between_kf",
+    "Tracker.kfQueueDepth": "kf_queue_depth",
     "Tracker.enableLocalBA": "enable_local_ba",
     "Tracker.enableFuse": "enable_fuse",
     "Tracker.enableKFCulling": "enable_kf_culling",

@@ -349,18 +349,23 @@ def measure_scaling_problem(
     merged.prob, merged.cam = prob, cam
 
     results = {}
+    cpu_results = {}
     shard_results = {}
     mesh1 = make_ba_mesh(1)
     for n in device_counts:
         mesh = make_ba_mesh(n)
         sprob = shard_problem(merged.prob, n)
         times = []
+        cpu_times = []
         for _ in range(repeats):
             t0 = time.perf_counter()
+            c0 = time.process_time()
             out = dist_bundle_adjust(sprob, merged.cam, mesh, iters=iters)
             jax.block_until_ready(out)
+            cpu_times.append(time.process_time() - c0)
             times.append(time.perf_counter() - t0)
         results[n] = min(times)
+        cpu_results[n] = min(cpu_times)
 
         # work-partition measurement: time ONE shard's local program on
         # ONE device. On this sandbox's virtual CPU mesh the wall-clock
@@ -405,5 +410,17 @@ def measure_scaling_problem(
         "partition_efficiency": {
             str(n): round(ts1 / (n * shard_results[n]), 3)
             for n in shard_results
+        },
+        # total CPU-seconds across all runtime threads: on an emulated
+        # mesh (n virtual devices sharing host_cores physical cores)
+        # wall-clock strong scaling is capped at ~host_cores / n, so
+        # the transferable signal is whether sharding keeps the TOTAL
+        # work flat (work_efficiency ~ 1.0 => on n real chips, wall
+        # time = work/n + collective latency)
+        "host_cores": len(__import__("os").sched_getaffinity(0)),
+        "cpu_s": {str(n): round(t, 4) for n, t in cpu_results.items()},
+        "work_efficiency": {
+            str(n): round(cpu_results[min(cpu_results)] / cpu_results[n], 3)
+            for n in cpu_results
         },
     }

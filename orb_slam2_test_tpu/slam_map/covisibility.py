@@ -97,13 +97,17 @@ def best_covisible(
     return jnp.where(weights > 0, ids, -1), weights
 
 
-def assign_parent(m: MapState, kf_id: jax.Array) -> MapState:
+def assign_parent(
+    m: MapState, kf_id: jax.Array, covis_row: jax.Array | None = None
+) -> MapState:
     """Set kf_id's spanning-tree parent to its most-covisible keyframe
     (KeyFrame::UpdateConnections first-time branch: `mbFirstConnection`
     -> parent = keyframe with the highest shared-point count). No-op if
     a parent is already assigned or no other valid keyframe shares
-    points."""
-    w = covisibility_weights(m, kf_id[None])[0].astype(jnp.float32)  # [K]
+    points. `covis_row` optionally passes precomputed [K] weights."""
+    if covis_row is None:
+        covis_row = covisibility_weights(m, kf_id[None])[0]
+    w = covis_row.astype(jnp.float32)  # [K]
     K = m.kf_valid.shape[0]
     eligible = m.kf_valid & (jnp.arange(K) != kf_id)
     w = jnp.where(eligible, w, -1.0)

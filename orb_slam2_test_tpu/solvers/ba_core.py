@@ -52,33 +52,9 @@ from orb_slam2_test_tpu.geometry.se3 import se3_exp
 from orb_slam2_test_tpu.solvers.reprojection import project_residual
 
 
-def inv3x3(A: jax.Array) -> jax.Array:
-    """Batched closed-form 3x3 inverse (adjugate / determinant).
-
-    jnp.linalg.inv lowers to a batched LU factorization, which executes
-    ~70x slower than this elementwise formula for [Q, 3, 3] blocks on
-    TPU (measured 7 ms vs <0.1 ms at Q=8192) — and the Schur point
-    blocks are inverted once per LM iteration."""
-    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
-    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
-    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
-    A11 = e * i - f * h
-    A12 = c * h - b * i
-    A13 = b * f - c * e
-    A21 = f * g - d * i
-    A22 = a * i - c * g
-    A23 = c * d - a * f
-    A31 = d * h - e * g
-    A32 = b * g - a * h
-    A33 = a * e - b * d
-    det = a * A11 + b * A21 + c * A31
-    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
-    adj = jnp.stack([
-        jnp.stack([A11, A12, A13], axis=-1),
-        jnp.stack([A21, A22, A23], axis=-1),
-        jnp.stack([A31, A32, A33], axis=-1),
-    ], axis=-2)
-    return adj * inv_det[..., None, None]
+# closed-form batched 3x3 inverse — see geometry/linalg.py (re-exported
+# here because every solver historically imported it from ba_core)
+from orb_slam2_test_tpu.geometry.linalg import inv3x3  # noqa: F401
 
 
 class BAProblem(NamedTuple):

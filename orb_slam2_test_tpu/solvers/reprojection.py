@@ -85,10 +85,20 @@ def project_residual(
     )
     dpc_dxi = jnp.concatenate([eye, -px], axis=-1)  # [..., 3, 6]
 
-    # residual = obs - proj => J = -dproj @ (...)
-    Jc = -(dproj @ dpc_dxi)  # [..., 3, 6]
+    # residual = obs - proj => J = -dproj @ (...). The 3x6 / 3x3 block
+    # products are written as broadcast-multiply-sums, NOT @ / einsum:
+    # batched tiny matmuls lower to MXU dot_generals, which under the
+    # float32 precision the solvers require run 3-6 hardware passes and
+    # pad 3-wide operands to full tiles — measured ~6 ms per BA
+    # linearization at [8192, 24] grid shapes vs sub-ms for the
+    # elementwise VPU form (which is also exact f32, no bf16 passes).
+    Jc = -jnp.sum(
+        dproj[..., :, :, None] * dpc_dxi[..., None, :, :], axis=-2
+    )  # [..., 3, 6]
     R = Tcw[..., :3, :3]
-    Jp = -(dproj @ R)  # [..., 3, 3], d pc/d X_world = R
+    Jp = -jnp.sum(
+        dproj[..., :, :, None] * R[..., None, :, :], axis=-2
+    )  # [..., 3, 3], d pc/d X_world = R
 
     chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
     return Residuals(r=r, chi2=chi2, Jc=Jc, Jp=Jp, depth_ok=z > 0.0)
