@@ -140,11 +140,16 @@ def _kitti_chain(n_steps: int, with_kf: bool):
     KF_EVERY-th frame (with_kf)."""
     cam, cfg = KITTI_CAM, KITTI_CFG
     cd = jnp.float32(cfg.th_depth * cam.baseline)
+    from orb_slam2_test_tpu.slam_map.covisibility import (
+        build_observer_bitmap,
+    )
 
     @jax.jit
     def run(m, imgL, imgR, Tcw0, feat0):
+        bm0 = build_observer_bitmap(m)
+
         def body(carry, i):
-            m, T, feat = carry
+            m, bm, T, feat = carry
             # per-frame image perturbation keeps iterations distinct
             d = (i.astype(jnp.float32) + T[0, 0] * 0.0) * 1e-3
             frame = build_frame_stereo(
@@ -154,29 +159,30 @@ def _kitti_chain(n_steps: int, with_kf: bool):
                 scale_factor=cfg.scale_factor,
             )
             outs = _track_frame_device(
-                cam, cfg, m, frame, T, jnp.eye(4), feat, frame,
+                cam, cfg, m, bm, frame, T, jnp.eye(4), feat, frame,
                 jnp.asarray(0, jnp.int32), cd,
             )
             Tcw_l, new_feat = outs[5], outs[7]
             if with_kf:
-                m, _, _, _ = jax.lax.cond(
+                m, _, _, _, bm = jax.lax.cond(
                     (i % KF_EVERY) == (KF_EVERY - 1),
-                    lambda m: _grow_map_device(
+                    lambda m, bm: _grow_map_device(
                         cam, cfg, m, frame, Tcw_l, new_feat,
                         jnp.float32(0.0), i, cd, True, True,
                     ),
-                    lambda m: (
+                    lambda m, bm: (
                         m,
                         jnp.asarray(-1, jnp.int32),
                         jnp.asarray(-1, jnp.int32),
                         m.n_pt,
+                        bm,
                     ),
-                    m,
+                    m, bm,
                 )
-            return (m, Tcw_l, new_feat), None
+            return (m, bm, Tcw_l, new_feat), None
 
-        (m, T, feat), _ = jax.lax.scan(
-            body, (m, Tcw0, feat0), jnp.arange(n_steps)
+        (m, bm, T, feat), _ = jax.lax.scan(
+            body, (m, bm0, Tcw0, feat0), jnp.arange(n_steps)
         )
         return T, m.n_kf, m.n_pt
 
@@ -194,6 +200,22 @@ def _time_chain(fn, args_list, n_steps, warmup=2):
         jax.device_get(out[1])
     dt = time.perf_counter() - t0
     return dt / (len(args_list) * n_steps)
+
+
+def _noop_rtt_ms(reps: int = 5) -> float:
+    """Median round-trip of dispatching a trivial program + syncing one
+    scalar — the tunnel/dispatch floor every per-frame host sync pays.
+    Subtracting it from single-dispatch measurements isolates device
+    time; it is also reported so e2e numbers are interpretable."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.float32(0.0)
+    jax.device_get(f(x))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.device_get(f(x))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts) * 1e3)
 
 
 def _cost(fn, *args):
@@ -256,19 +278,67 @@ def bench_kitti_stereo():
     for _ in range(5):
         out = grow()
         jax.device_get(out[1])
-    kf_ms = (time.perf_counter() - t0) / 5 * 1e3
-    # amortized frame time = tracked frame + keyframe pipeline share
-    t_amort = min(t_amort, t_track + kf_ms / 1e3 / KF_EVERY)
+    kf_ms_e2e = (time.perf_counter() - t0) / 5 * 1e3
+    rtt = _noop_rtt_ms()
+    kf_ms_dev = max(kf_ms_e2e - rtt, 0.0)
+
+    # single-dispatch tracked frame (what a CLI driver pays per frame
+    # through the tunnel): one dispatch + one scalar sync
+    from orb_slam2_test_tpu.slam_map.covisibility import (
+        build_observer_bitmap,
+    )
+
+    bm0 = jax.jit(build_observer_bitmap)(m0)
+
+    # device-resident state passed as ARGUMENTS (a closure-captured
+    # map/bitmap becomes a program constant that the tunnel re-ships
+    # per call); the image is uploaded from the HOST each frame, like
+    # a CLI driver does
+    def track_one(m, bm, img, imgR, T, feat):
+        frame = build_frame_stereo(
+            img, imgR, 0.0, KITTI_CAM, n_features=cfg.n_features,
+            n_levels=cfg.n_levels, scale_factor=cfg.scale_factor,
+        )
+        outs = _track_frame_device(
+            KITTI_CAM, cfg, m, bm, frame, T, jnp.eye(4), feat, frame,
+            jnp.asarray(0, jnp.int32), cd,
+        )
+        return outs[6]
+
+    track_one_j = jax.jit(track_one)
+    host_imgL = np.asarray(imgL)
+    jax.device_get(
+        track_one_j(m0, bm0, jnp.asarray(host_imgL), imgR, T0, feat0)
+    )
+    t0 = time.perf_counter()
+    for _ in range(5):
+        jax.device_get(
+            track_one_j(
+                m0, bm0, jnp.asarray(host_imgL), imgR, T0, feat0
+            )
+        )
+    frame_ms_e2e = (time.perf_counter() - t0) / 5 * 1e3
+
+    # amortized DEVICE frame time = chained tracked frame + device
+    # keyframe-pipeline share (the chained amortized run cross-checks
+    # it; lax.cond may execute both branches on some backends, so take
+    # the min)
+    t_amort = min(t_amort, t_track + kf_ms_dev / 1e3 / KF_EVERY)
 
     # roofline: XLA cost analysis of the amortized chain
     flops, byts = _cost(with_kf, *args_list[0])
     per_frame = 1.0 / t_amort
     mfu = (flops / N_STEPS) / t_amort / PEAK_BF16_FLOPS
     hbm = (byts / N_STEPS) / t_amort / PEAK_HBM_BYTES
+    e2e_amort_ms = frame_ms_e2e + kf_ms_e2e / KF_EVERY
     return {
         "kitti_stereo_fps": per_frame,
         "kitti_track_only_fps": 1.0 / t_track,
-        "kf_insert_ms": kf_ms,
+        "kitti_fps_e2e_tunnel": 1e3 / e2e_amort_ms,
+        "frame_ms_e2e_tunnel": frame_ms_e2e,
+        "kf_insert_ms": kf_ms_dev,
+        "kf_insert_ms_e2e_tunnel": kf_ms_e2e,
+        "tunnel_rtt_ms": rtt,
         "mfu_pct": 100.0 * mfu,
         "hbm_util_pct": 100.0 * hbm,
     }
@@ -324,21 +394,27 @@ def main():
                     "kitti_track_only_fps": round(
                         kitti["kitti_track_only_fps"], 2
                     ),
+                    # DEVICE time (16-frame chains, one dispatch - the
+                    # number a co-located host sees) vs E2E through the
+                    # sandbox tunnel (one dispatch + sync per frame,
+                    # paying tunnel_rtt_ms each)
+                    "kitti_fps_e2e_tunnel": round(
+                        kitti["kitti_fps_e2e_tunnel"], 2
+                    ),
+                    "frame_ms_e2e_tunnel": round(
+                        kitti["frame_ms_e2e_tunnel"], 2
+                    ),
                     "kf_insert_ms": round(kitti["kf_insert_ms"], 2),
+                    "kf_insert_ms_e2e_tunnel": round(
+                        kitti["kf_insert_ms_e2e_tunnel"], 2
+                    ),
+                    "tunnel_rtt_ms": round(kitti["tunnel_rtt_ms"], 2),
                     "mfu_pct": round(kitti["mfu_pct"], 2),
                     "hbm_util_pct": round(kitti["hbm_util_pct"], 2),
                     "mono_fps_640x480_1000feat": round(mono_fps, 2),
                     "mono_vs_baseline": round(
                         mono_fps / BASELINE_FPS_MONO, 2
                     ),
-                    # measured on this sandbox's tunneled TPU backend:
-                    # ~24 ms per forced host round-trip and a large
-                    # per-HLO-thunk dispatch overhead (a single fused
-                    # 8192^3 matmul hits peak, a 200-op program of
-                    # microsecond kernels takes hundreds of ms). A
-                    # co-located host pays ~2-5 us per thunk; these
-                    # fps numbers are the tunnel's floor, not the
-                    # programs' device time.
                     "backend": "remote-tunneled single chip",
                 },
             }

@@ -39,7 +39,12 @@ def common_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--load-checkpoint", default=None)
     p.add_argument("--localization-only", action="store_true")
     p.add_argument("--max-frames", type=int, default=None)
-    p.add_argument("--viewer", action="store_true")
+    p.add_argument("--viewer", action="store_true",
+                   help="periodic PNG snapshot viewer (headless)")
+    p.add_argument("--live-viewer", type=int, nargs="?", const=8765,
+                   default=None, metavar="PORT",
+                   help="serve a live map/frame view with menu controls "
+                        "over HTTP (reference Pangolin Viewer parity)")
     p.add_argument(
         "--groundtruth", default=None,
         help="TUM-format groundtruth file: print ATE at exit",

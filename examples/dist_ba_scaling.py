@@ -27,70 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def synthetic_problem(n_cams: int, n_pts: int, obs_per_pt: int, seed: int = 0):
-    """KITTI-shaped synthetic bundle problem (no dataset needed): cameras
-    along a forward trajectory, stereo points ahead of them, observations
-    projected from perturbed ground truth so the LM solver does real work.
-    Mirrors the problem sizes compact_problem() extracts from a KITTI-scale
-    map checkpoint (≈500 cams / ≈90k pts / ≈400k obs at default sizes)."""
-    import numpy as np
-    from orb_slam2_test_tpu.geometry.camera import PinholeCamera
-    from orb_slam2_test_tpu.solvers.ba_core import BAProblem
+    """KITTI-shaped synthetic bundle problem — see
+    utils/synthetic.synthetic_ba_problem (shared with the multi-chip
+    dryrun). Mirrors the problem sizes compact_problem() extracts from
+    a KITTI-scale map checkpoint (~500 cams / ~90k pts / ~400k obs at
+    default sizes)."""
+    from orb_slam2_test_tpu.utils.synthetic import synthetic_ba_problem
 
-    rng = np.random.default_rng(seed)
-    fx = fy = 718.856
-    cx, cy = 607.19, 185.22
-    bf = fx * 0.53716
-    cam = PinholeCamera(fx=fx, fy=fy, cx=cx, cy=cy,
-                        width=1241, height=376, bf=bf)
-
-    # ground-truth poses: forward motion with gentle yaw
-    t = np.arange(n_cams, dtype=np.float64)
-    yaw = 0.002 * t
-    cw = np.stack([np.cumsum(np.sin(yaw)), np.zeros(n_cams),
-                   np.cumsum(np.cos(yaw))], axis=1)  # camera centers
-    Tcw_gt = np.tile(np.eye(4), (n_cams, 1, 1))
-    for i in range(n_cams):
-        c, s = np.cos(yaw[i]), np.sin(yaw[i])
-        R = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]])
-        Tcw_gt[i, :3, :3] = R
-        Tcw_gt[i, :3, 3] = -R @ cw[i]
-
-    # points: scattered ahead of a random anchor camera
-    anchor = rng.integers(0, n_cams, size=n_pts)
-    X = cw[anchor] + rng.normal(0, 1, (n_pts, 3)) * [8, 2, 0] + \
-        np.stack([np.sin(yaw[anchor]), np.zeros(n_pts),
-                  np.cos(yaw[anchor])], 1) * rng.uniform(5, 40, (n_pts, 1))
-
-    # observations: each point seen by obs_per_pt consecutive cameras
-    oc = (anchor[:, None] + np.arange(obs_per_pt)[None, :]) % n_cams
-    op = np.broadcast_to(np.arange(n_pts)[:, None], oc.shape)
-    oc, op = oc.ravel(), op.ravel().copy()
-    Xc = np.einsum("oij,oj->oi", Tcw_gt[oc, :3, :3], X[op]) + Tcw_gt[oc, :3, 3]
-    z = np.maximum(Xc[:, 2], 0.5)
-    u = fx * Xc[:, 0] / z + cx + rng.normal(0, 0.5, len(oc))
-    v = fy * Xc[:, 1] / z + cy + rng.normal(0, 0.5, len(oc))
-    ur = u - bf / z + rng.normal(0, 0.5, len(oc))
-    valid = (Xc[:, 2] > 0.5) & (np.abs(u - cx) < 900) & (np.abs(v - cy) < 300)
-
-    # initial guess: perturbed ground truth
-    Tcw0 = Tcw_gt.copy()
-    Tcw0[:, :3, 3] += rng.normal(0, 0.05, (n_cams, 3))
-    X0 = X + rng.normal(0, 0.05, X.shape)
-    fixed = np.zeros(n_cams, bool)
-    fixed[0] = True
-
-    prob = BAProblem(
-        cam_Tcw=Tcw0.astype(np.float32),
-        cam_fixed=fixed,
-        pt_xyz=X0.astype(np.float32),
-        pt_valid=np.ones(n_pts, bool),
-        obs_cam=oc.astype(np.int32),
-        obs_pt=op.astype(np.int32),
-        obs_uvr=np.stack([u, v, ur], 1).astype(np.float32),
-        obs_isig2=np.ones(len(oc), np.float32),
-        obs_valid=valid,
-    )
-    return prob, cam
+    return synthetic_ba_problem(n_cams, n_pts, obs_per_pt, seed=seed)
 
 
 def main() -> int:

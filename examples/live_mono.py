@@ -22,7 +22,8 @@ from orb_slam2_test_tpu.system import System, MONOCULAR
 def main():
     args = live_parser(__doc__).parse_args()
     system = System(args.settings, MONOCULAR, vocabulary=args.vocabulary,
-                    use_viewer=args.viewer)
+                    use_viewer=args.viewer,
+                    live_viewer_port=args.live_viewer)
     src = make_source(args)
     return run_live(system, src, "mono", args)
 

@@ -21,7 +21,8 @@ from orb_slam2_test_tpu.system import System, RGBD
 def main():
     args = live_parser(__doc__).parse_args()
     system = System(args.settings, RGBD, vocabulary=args.vocabulary,
-                    use_viewer=args.viewer)
+                    use_viewer=args.viewer,
+                    live_viewer_port=args.live_viewer)
     sync = ApproximateTimeSync(
         make_source(args), make_source(args, second=True),
         slop=args.sync_slop,

@@ -67,6 +67,7 @@ def gen_kitti(args) -> int:
         blackout=tuple(
             range(args.blackout_at, args.blackout_at + args.blackout_len)
         ) if args.blackout_at >= 0 else (),
+        revolutions=args.revolutions,
     )
     d = args.out
     os.makedirs(os.path.join(d, "image_0"), exist_ok=True)
@@ -268,6 +269,10 @@ def main() -> int:
                         "(forces LOST -> relocalization)")
     p.add_argument("--blackout-len", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--revolutions", type=float, default=1.08,
+                   help="loop laps: 1.08 = one lap + 8%% revisit; >2 "
+                        "gives a full second lap of continuous revisit "
+                        "(repeated loop-closure events)")
     args = p.parse_args()
 
     if args.kind == "kitti":

@@ -19,7 +19,8 @@ def main():
     seq = load_euroc(args.sequence, stereo=False,
                      timestamps_file=args.timestamps)
     system = System(args.settings, MONOCULAR, vocabulary=args.vocabulary,
-                    use_viewer=args.viewer)
+                    use_viewer=args.viewer,
+                    live_viewer_port=args.live_viewer)
     return run(system, seq, args)
 
 

@@ -16,7 +16,8 @@ def main():
     args = common_parser(__doc__).parse_args()
     seq = load_tum_mono(args.sequence)
     system = System(args.settings, MONOCULAR, vocabulary=args.vocabulary,
-                    use_viewer=args.viewer)
+                    use_viewer=args.viewer,
+                    live_viewer_port=args.live_viewer)
     return run(system, seq, args)
 
 

@@ -17,7 +17,8 @@ def main():
     p.add_argument("--associations", default=None)
     args = p.parse_args()
     system = System(args.settings, RGBD, vocabulary=args.vocabulary,
-                    use_viewer=args.viewer)
+                    use_viewer=args.viewer,
+                    live_viewer_port=args.live_viewer)
     seq = load_tum_rgbd(
         args.sequence,
         depth_map_factor=float(system.settings.depth_map_factor or 5000.0),

@@ -21,7 +21,8 @@ def main():
     seq = load_euroc(args.sequence, stereo=True,
                      timestamps_file=args.timestamps)
     system = System(args.settings, STEREO, vocabulary=args.vocabulary,
-                    use_viewer=args.viewer)
+                    use_viewer=args.viewer,
+                    live_viewer_port=args.live_viewer)
     if system.settings.rectification is None:
         raise SystemExit("settings file has no LEFT.*/RIGHT.* blocks")
     rectify = StereoRectifier(system.settings.rectification)

@@ -19,7 +19,7 @@ from orb_slam2_test_tpu.engine.matchers import (
     match_by_descriptor_to_map,
     search_by_projection,
 )
-from orb_slam2_test_tpu.solvers.pnp import pnp_ransac
+from orb_slam2_test_tpu.solvers.pnp import pnp_ransac_adaptive
 from orb_slam2_test_tpu.solvers.pose_opt import pose_optimization
 
 
@@ -50,7 +50,10 @@ def relocalize(
         sel = feat_pt >= 0
         X = m.pt_xyz[jnp.clip(feat_pt, 0)]
         key, sub = jax.random.split(key)
-        res = pnp_ransac(
+        # adaptive iteration count (reference SetRansacParameters):
+        # exits after one batch at healthy inlier ratios, keeps
+        # sampling at the 20-30% ratios of hard relocalizations
+        res, _ = pnp_ransac_adaptive(
             cam, X, frame.uv, sel & frame.valid, sub, min_inliers=10
         )
         if not bool(res.success):

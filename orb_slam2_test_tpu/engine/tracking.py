@@ -216,21 +216,33 @@ def _motion_body(cam, cfg, m, frame, pred, last_feat_pt, last_frame,
     return pm.n_matches, res.Tcw, res.n_inliers, feat_inl
 
 
-def _local_keyframe_point_set(m, cur_feat_pt, k1_cap: int, k2_cap: int):
+def _local_keyframe_point_set(m, obs_bm, cur_feat_pt, k1_cap: int,
+                              k2_cap: int):
     """Local keyframe sets K1 (vote) and K2 (shared-landmark neighbors)
     and the union point mask (Tracking::UpdateLocalKeyFrames /
     UpdateLocalPoints). Returns (vote_weights [k1_cap], vote_kfs
-    [k1_cap], point_mask [P])."""
+    [k1_cap], point_mask [P]).
+
+    `obs_bm` is the [P, K] point->observer bitmap the insertion
+    pipeline maintains (covisibility.build_observer_bitmap): votes and
+    K2 shares become [n, K] gathers + reductions instead of the three
+    [K, N] map-wide gathers of the derive-on-demand formulation, which
+    cost ~14 ms/frame at KITTI capacities — more than half the tracked
+    frame. Stale bitmap columns of culled keyframes are masked by
+    kf_valid; stale bits of BA-detached links add vote noise identical
+    to the reference's not-yet-refreshed covisibility lists."""
     P = m.pt_valid.shape[0]
     K = m.kf_valid.shape[0]
     k1_cap = min(k1_cap, K)
     k2_cap = min(k2_cap, K)
-    cur_pts = jnp.where(cur_feat_pt >= 0, cur_feat_pt, P)
-    ind = jnp.zeros((P,), jnp.float32).at[cur_pts].set(1.0, mode="drop")
-    linked = (m.kf_pt_idx >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    has = cur_feat_pt >= 0
     votes = jnp.sum(
-        jnp.where(linked, ind[jnp.clip(m.kf_pt_idx, 0)], 0.0), axis=1
-    )
+        jnp.where(
+            has[:, None], obs_bm[jnp.clip(cur_feat_pt, 0)], 0
+        ).astype(jnp.float32),
+        axis=0,
+    )  # [K]
+    votes = jnp.where(m.kf_valid, votes, 0.0)
     vw, vkf = jax.lax.top_k(votes, k1_cap)
     local_kf = jnp.where(vw > 0, vkf, -1)
 
@@ -240,18 +252,27 @@ def _local_keyframe_point_set(m, cur_feat_pt, k1_cap: int, k2_cap: int):
         jnp.where(rows >= 0, rows, P)
     ].set(True, mode="drop") & m.pt_valid
 
-    # K2: keyframes observing >= 15 of the K1 point set (one [K, N]
-    # gather-sum — no K x P indicator matmul on the per-frame path)
+    # K2: keyframes observing >= 15 of the K1 point set. Each K1 point
+    # must vote ONCE even when several K1 rows contain it: keep only
+    # the first occurrence across the [k1, N] rows.
+    flat_rows = rows.reshape(-1)
+    pos = jnp.arange(flat_rows.shape[0], dtype=jnp.int32)
+    first_pos = jnp.full((P,), flat_rows.shape[0], jnp.int32).at[
+        jnp.where(flat_rows >= 0, flat_rows, P)
+    ].min(pos, mode="drop")
+    is_first = (flat_rows >= 0) & (
+        first_pos[jnp.clip(flat_rows, 0)] == pos
+    ) & pmask1[jnp.clip(flat_rows, 0)]
+    share = jnp.sum(
+        jnp.where(
+            is_first[:, None], obs_bm[jnp.clip(flat_rows, 0)], 0
+        ).astype(jnp.float32),
+        axis=0,
+    )  # [K]
     k1_mask = jnp.zeros((K,), bool).at[
         jnp.where(local_kf >= 0, lsafe, K)
     ].set(True, mode="drop")
-    share = jnp.sum(
-        jnp.where(linked, pmask1[jnp.clip(m.kf_pt_idx, 0)], False).astype(
-            jnp.float32
-        ),
-        axis=1,
-    )
-    share = jnp.where(k1_mask, 0.0, share)
+    share = jnp.where(k1_mask | ~m.kf_valid, 0.0, share)
     sw, skf = jax.lax.top_k(share, k2_cap)
     k2 = jnp.where(sw >= 15.0, skf, -1)
     rows2 = jnp.where((k2 >= 0)[:, None], m.kf_pt_idx[jnp.clip(k2, 0)], -1)
@@ -264,7 +285,7 @@ def _local_keyframe_point_set(m, cur_feat_pt, k1_cap: int, k2_cap: int):
     return vw, vkf, pmask
 
 
-def _local_map_body(cam, cfg, m, frame, Tcw, cur_feat_pt, ref_kf):
+def _local_map_body(cam, cfg, m, obs_bm, frame, Tcw, cur_feat_pt, ref_kf):
     """TrackLocalMap: K1 covisibility-vote local keyframes + K2
     shared-landmark neighbors, project their points, match (ratio 0.8),
     optimize, update visibility statistics (Tracking.cc:~800
@@ -275,7 +296,7 @@ def _local_map_body(cam, cfg, m, frame, Tcw, cur_feat_pt, ref_kf):
     ARE maximal shared-landmark edges)."""
     P = m.pt_valid.shape[0]
     vw, vkf, pmask = _local_keyframe_point_set(
-        m, cur_feat_pt, cfg.local_kf_cap, cfg.local_k2_cap
+        m, obs_bm, cur_feat_pt, cfg.local_kf_cap, cfg.local_k2_cap
     )
 
     pm = search_by_projection(
@@ -309,8 +330,8 @@ _local_map_step_device = f32_matmuls(functools.partial(
 
 @f32_matmuls
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
-def _track_frame_device(cam, cfg, m, frame, vel, T_cr, last_feat_pt,
-                        last_frame, ref_kf, close_depth):
+def _track_frame_device(cam, cfg, m, obs_bm, frame, vel, T_cr,
+                        last_feat_pt, last_frame, ref_kf, close_depth):
     """The whole happy-path frame: motion-model tracking -> local-map
     tracking -> keyframe-decision statistics, ONE device program with
     ONE host sync per frame. When the motion model fails its gates the
@@ -331,7 +352,9 @@ def _track_frame_device(cam, cfg, m, frame, vel, T_cr, last_feat_pt,
     )
     # speculative local map from the motion result (discarded on the
     # host if the motion gates fail)
-    local = _local_map_body(cam, cfg, m, frame, Tcw_m, feat_m, ref_kf)
+    local = _local_map_body(
+        cam, cfg, m, obs_bm, frame, Tcw_m, feat_m, ref_kf
+    )
     new_feat = local[4]
     n_tc, n_uc = _close_counts_body(
         frame.depth, frame.valid, new_feat, close_depth
@@ -349,9 +372,9 @@ def _track_frame_device(cam, cfg, m, frame, vel, T_cr, last_feat_pt,
 
 @f32_matmuls
 @functools.partial(jax.jit, static_argnames=("cam", "cfg", "sensor"))
-def _build_and_track_device(cam, cfg, sensor, m, img_a, img_b, timestamp,
-                            vel, T_cr, last_feat_pt, last_frame, ref_kf,
-                            close_depth):
+def _build_and_track_device(cam, cfg, sensor, m, obs_bm, img_a, img_b,
+                            timestamp, vel, T_cr, last_feat_pt,
+                            last_frame, ref_kf, close_depth):
     """Frame construction (pyramid + FAST + BRIEF + stereo/depth) FUSED
     with the whole happy-path tracking step: ONE dispatch and ONE host
     round-trip per frame. Behind a remote-TPU tunnel each dispatch
@@ -371,16 +394,16 @@ def _build_and_track_device(cam, cfg, sensor, m, img_a, img_b, timestamp,
     else:
         frame = build_frame_rgbd(img_a, img_b, timestamp, cam, **kw)
     outs = _track_frame_device(
-        cam, cfg, m, frame, vel, T_cr, last_feat_pt, last_frame, ref_kf,
-        close_depth,
+        cam, cfg, m, obs_bm, frame, vel, T_cr, last_feat_pt, last_frame,
+        ref_kf, close_depth,
     )
     return frame, outs
 
 
 @f32_matmuls
 @functools.partial(jax.jit, static_argnames=("cam", "cfg", "sensor"))
-def _build_and_track_packed(cam, cfg, sensor, m, imgs, depth, packed,
-                            last_feat_pt, last_frame):
+def _build_and_track_packed(cam, cfg, sensor, m, obs_bm, imgs, depth,
+                            packed, last_feat_pt, last_frame):
     """_build_and_track_device with all small per-frame host inputs in
     ONE [35] f32 array (vel 16 | T_cr 16 | timestamp | close_depth |
     ref_kf) and the stereo pair stacked into one [2, H, W] upload.
@@ -401,7 +424,7 @@ def _build_and_track_packed(cam, cfg, sensor, m, imgs, depth, packed,
     else:
         img_a, img_b = imgs, depth
     return _build_and_track_device(
-        cam, cfg, sensor, m, img_a, img_b, timestamp, vel, T_cr,
+        cam, cfg, sensor, m, obs_bm, img_a, img_b, timestamp, vel, T_cr,
         last_feat_pt, last_frame, ref_kf, close_depth,
     )
 
@@ -476,7 +499,8 @@ def _grow_map_device(cam, cfg, m, frame, Tcw, feat_pt, timestamp,
     )
 
     from orb_slam2_test_tpu.slam_map.covisibility import (
-        covisibility_weights,
+        build_observer_bitmap,
+        covis_row_from_bitmap,
         observation_counts,
     )
 
@@ -500,10 +524,12 @@ def _grow_map_device(cam, cfg, m, frame, Tcw, feat_pt, timestamp,
         m = _add_depth_points_body(
             cam, cfg, m, frame, kf, close_depth, close_gate
         )
-    # covisibility weights of the new keyframe, computed ONCE and
-    # threaded through parent assignment + triangulation-neighbor
-    # selection (each used to recompute the same [K, N] reduction)
-    w_row = covisibility_weights(m, kf[None])[0]
+    # point->observer bitmap + the new keyframe's covisibility row,
+    # computed ONCE and threaded through parent assignment +
+    # triangulation-neighbor selection (each used to recompute the
+    # same [K, N] reduction)
+    obs_bm = build_observer_bitmap(m)
+    w_row = covis_row_from_bitmap(m, obs_bm, kf)
     m = assign_parent(m, kf, covis_row=w_row)
     _w, ids = jax.lax.top_k(w_row, cfg.n_triangulate_neighbors)
     ids = jnp.where(_w > 0, ids, -1)
@@ -529,9 +555,11 @@ def _grow_map_device(cam, cfg, m, frame, Tcw, feat_pt, timestamp,
     m = update_distinctive_descriptors(
         m, window, window=cfg.n_triangulate_neighbors + 1
     )
-    # refresh the weight row: triangulation + fusion added shared
-    # observations (the BA window and cull candidates see them)
-    w_row = covisibility_weights(m, kf[None])[0]
+    # refresh the bitmap + weight row: triangulation + fusion added
+    # shared observations (the BA window and cull candidates see them);
+    # this rebuild is also the bitmap exported to the per-frame tracker
+    obs_bm = build_observer_bitmap(m)
+    w_row = covis_row_from_bitmap(m, obs_bm, kf)
     _wm, maint_ids = jax.lax.top_k(w_row, min(
         cfg.local_kf_cap, w_row.shape[0]
     ))
@@ -557,6 +585,9 @@ def _grow_map_device(cam, cfg, m, frame, Tcw, feat_pt, timestamp,
         jnp.where(kf_ok, kf, -1),
         jnp.where(kf_ok, culled, -1),
         m.n_pt,  # host point-capacity mirror refresh (synced at flush)
+        # refreshed observer bitmap for the per-frame tracker (post-
+        # fuse; BA-detach/cull staleness is masked by consumers)
+        obs_bm,
     )
 
 
@@ -600,6 +631,9 @@ class Tracker:
         self.frames_since_kf = 0
         self.frame_id = 0
         self._n_pt_host = 0  # point count at last backend flush
+        # [P, K] point->observer bitmap cache (covisibility index for
+        # the per-frame hot path; see _obs_bitmap)
+        self._obs_bm = None
         self.last_diag = {}  # per-frame match/inlier counts (host)
         # last tracked frame's pose relative to its reference keyframe
         # (host 4x4) — the motion model re-anchors through it
@@ -815,6 +849,7 @@ class Tracker:
         System::Reset or by early tracking failure after mono init)."""
         self.state = TrackingState.NOT_INITIALIZED
         self.map = make_empty_map(self.cap)
+        self._obs_bm = None
         self._ref_Tcw_host = None
         self.init_frame = None
         self.last_frame = None
@@ -1056,6 +1091,21 @@ class Tracker:
         )
         return res
 
+    def _obs_bitmap(self):
+        """The [P, K] point->observer bitmap (cached covisibility
+        index; covisibility.build_observer_bitmap). The keyframe-
+        insertion program returns a refreshed copy; everything else
+        that replaces the map wholesale (reset, capacity growth, loop
+        closure, checkpoint load) invalidates the cache and this
+        rebuilds lazily with one dispatched scatter."""
+        if self._obs_bm is None:
+            from orb_slam2_test_tpu.slam_map.covisibility import (
+                build_observer_bitmap,
+            )
+
+            self._obs_bm = jax.jit(build_observer_bitmap)(self.map)
+        return self._obs_bm
+
     def _fused_applicable(self) -> bool:
         return (
             self.state == TrackingState.OK
@@ -1102,8 +1152,9 @@ class Tracker:
             imgs = jnp.asarray(img_a)
             dep = jnp.asarray(img_b, jnp.float32)
         frame, outs = _build_and_track_packed(
-            self.cam, self.cfg, sensor, self.map, imgs, dep,
-            jnp.asarray(packed), self.last_feat_pt, self.last_frame,
+            self.cam, self.cfg, sensor, self.map, self._obs_bitmap(),
+            imgs, dep, jnp.asarray(packed), self.last_feat_pt,
+            self.last_frame,
         )
         return frame, self._consume_fused(outs)
 
@@ -1118,7 +1169,7 @@ class Tracker:
         """
         T_cr, cd = self._fused_inputs()
         outs = _track_frame_device(
-            self.cam, self.cfg, self.map, frame,
+            self.cam, self.cfg, self.map, self._obs_bitmap(), frame,
             jnp.asarray(self.velocity), jnp.asarray(T_cr),
             self.last_feat_pt, self.last_frame,
             jnp.asarray(self.ref_kf, jnp.int32),
@@ -1209,7 +1260,7 @@ class Tracker:
         m = self.map
         (vw0, vkf0, Tcw, n_inliers, new_feat, vis,
          ref_Tcw) = _local_map_step_device(
-            self.cam, self.cfg, m, frame,
+            self.cam, self.cfg, m, self._obs_bitmap(), frame,
             jnp.asarray(self.last_Tcw), self.cur_feat_pt,
             jnp.asarray(self.ref_kf, jnp.int32),
         )
@@ -1335,7 +1386,14 @@ class Tracker:
             self.n_tracked < cfg.kf_ref_ratio * ref_tracked
             or close_deficit
         ) and self.n_tracked > cfg.min_track_matches
-        need = ((c1a or c1b or c1c) and c2) or vo_force
+        # deviation from the reference: c1a (max-frames) fires WITHOUT
+        # c2 — a hard upper bound on the keyframe interval. The
+        # reference can stall insertion indefinitely in near-static
+        # scenes (c2 never fires at ~100% ref-ratio); a bounded
+        # interval keeps the reloc database and culling behavior
+        # healthy and costs nothing when c2 already fires
+        c1a_force = c1a and self.n_tracked > cfg.min_track_matches
+        need = c1a_force or ((c1b or c1c) and c2) or vo_force
         if not need:
             return
         if not mapper_idle:
@@ -1388,7 +1446,7 @@ class Tracker:
         # (their device programs queue after the bounded-size BA) and
         # the scalar results (kf id, culled id) are not synced until the
         # NEXT keyframe decision needs them (flush_backend above).
-        m, kf, culled, n_pt_after = _grow_map_device(
+        m, kf, culled, n_pt_after, obs_bm = _grow_map_device(
             self.cam, self.cfg, self.map, frame,
             jnp.asarray(self.last_Tcw), self.cur_feat_pt,
             jnp.asarray(frame.timestamp, jnp.float32),
@@ -1401,6 +1459,7 @@ class Tracker:
             self.close_depth is not None,
         )
         self.map = m
+        self._obs_bm = obs_bm  # refreshed covisibility index
         # the host gate above guarantees a free slot, so kf >= 0 and the
         # counters can advance without waiting on the device
         self.n_live_kf += 1
@@ -1433,6 +1492,7 @@ class Tracker:
         if culled < 0:
             return
         self.map = m
+        self._obs_bm = None
         self.n_live_kf -= 1
         if self.loop_closer is not None:
             self.loop_closer.db.erase(culled)
@@ -1453,6 +1513,7 @@ class Tracker:
         )
         self.cap = self.cfg.map_capacity
         self.map = grow_map(self.map, old_cap, self.cap)
+        self._obs_bm = None  # shape changed: rebuild lazily
 
     def flush_backend(self) -> None:
         """Resolve ALL deferred keyframe pipelines: sync the (kf,
@@ -1500,6 +1561,9 @@ class Tracker:
             m, closed = self.loop_closer.on_new_keyframe(m_before, kf)
             if closed:
                 self.stats["loops"] += 1
+                # loop fusion rewrote point links map-wide: the cached
+                # observer bitmap is invalid, rebuild lazily
+                self._obs_bm = None
                 # keyframe poses moved while tracking continued: carry
                 # the tracked pose so its pose RELATIVE to the moved
                 # keyframe is preserved (T_cr = last @ inv(kf_old) is

@@ -120,6 +120,8 @@ def load_tracker(path: str, tracker) -> None:
         if cap != tracker.cap:
             m = grow_map(m, cap, tracker.cap)
     tracker.map = m
+    tracker._obs_bm = None  # covisibility index cache: rebuild lazily
+    tracker._n_pt_host = int(np.sum(np.asarray(m.pt_valid)))
     tracker.n_live_kf = int(np.sum(np.asarray(m.kf_valid)))
     tracker.state = meta["state"]
     tracker._ts0 = meta.get("ts0")

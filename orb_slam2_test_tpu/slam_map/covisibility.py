@@ -150,3 +150,49 @@ def local_keyframes(
     dup = jnp.concatenate([jnp.array([False]), s[1:] == s[:-1]])
     s = jnp.where(dup, -1, s)
     return jnp.sort(s)[::-1]  # valid ids first, then -1 padding
+
+
+def build_observer_bitmap(m: MapState) -> jax.Array:
+    """[P, K] uint8 point->observer-keyframe incidence bitmap.
+
+    The per-frame tracking hot path needs "which keyframes observe
+    these matched points" (UpdateLocalKeyFrames' keyframeCounter over
+    MapPoint::GetObservations()). Deriving it from kf_pt_idx costs a
+    [K, N] map-wide gather (~4-5 ms on a v5e at KITTI capacities) PER
+    CONSUMER; since map links only mutate inside the keyframe-insertion
+    / loop-closure programs, the tracker instead carries this bitmap as
+    a cached index: rebuilt inside those programs (one ~5 ms scatter),
+    read with tiny [n_matched, K] gathers every frame.
+
+    Consumers must mask columns by kf_valid — after a keyframe cull the
+    bitmap may keep stale bits until the next rebuild (equivalent to
+    the reference's covisibility lists between UpdateConnections
+    calls)."""
+    K, N = m.kf_pt_idx.shape
+    P = m.pt_valid.shape[0]
+    linked = (m.kf_pt_idx >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    pid = jnp.where(linked, m.kf_pt_idx, P).reshape(-1)
+    kf_of = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[:, None], (K, N)
+    ).reshape(-1)
+    return jnp.zeros((P, K), jnp.uint8).at[pid, kf_of].set(
+        1, mode="drop"
+    )
+
+
+def covis_row_from_bitmap(
+    m: MapState, bitmap: jax.Array, kf_id: jax.Array
+) -> jax.Array:
+    """kf_id's [K] covisibility-weight row from the observer bitmap:
+    one [N, K] gather instead of the [K, N] map-wide reduction of
+    covisibility_weights. Semantics match covisibility_weights (counts
+    shared observations of the query's features)."""
+    K = m.kf_valid.shape[0]
+    row = m.kf_pt_idx[kf_id]  # [N]
+    ok = (row >= 0) & m.kf_kp_valid[kf_id]
+    rows = bitmap[jnp.clip(row, 0)]  # [N, K] uint8
+    w = jnp.sum(
+        jnp.where(ok[:, None], rows, 0).astype(jnp.int32), axis=0
+    )
+    w = jnp.where(m.kf_valid, w, 0)
+    return w.at[kf_id].set(0)

@@ -54,6 +54,7 @@ class System:
         vocabulary=None,
         use_viewer: bool = False,
         viewer_dir: str = "viewer_out",
+        live_viewer_port: int | None = None,
         **config_overrides,
     ):
         """settings: path to a reference-format YAML or a SlamSettings.
@@ -116,7 +117,16 @@ class System:
                 )
 
         self.viewer = None
-        if use_viewer:
+        if live_viewer_port is not None:
+            # live HTTP viewer (reference Viewer thread + Pangolin menu
+            # equivalents — see viz/live_viewer.py)
+            from orb_slam2_test_tpu.viz.live_viewer import LiveViewer
+
+            self.viewer = LiveViewer(self, port=live_viewer_port)
+            print(
+                f"live viewer: http://localhost:{self.viewer.port}/"
+            )
+        elif use_viewer:
             from orb_slam2_test_tpu.viz.viewer import Viewer
 
             self.viewer = Viewer(self, out_dir=viewer_dir)

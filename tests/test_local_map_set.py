@@ -55,7 +55,14 @@ def test_local_keyframe_point_set_k1_k2():
     cur_feat_pt = jnp.full((CAP.max_features,), -1, jnp.int32)
     cur_feat_pt = cur_feat_pt.at[jnp.arange(4)].set(jnp.arange(4))
 
-    vw, vkf, pmask = _local_keyframe_point_set(m, cur_feat_pt, 4, 4)
+    from orb_slam2_test_tpu.slam_map.covisibility import (
+        build_observer_bitmap,
+    )
+
+    obs_bm = build_observer_bitmap(m)
+    vw, vkf, pmask = _local_keyframe_point_set(
+        m, obs_bm, cur_feat_pt, 4, 4
+    )
     vw, vkf, pmask = np.asarray(vw), np.asarray(vkf), np.asarray(pmask)
 
     # K1 = {KF0} (only it observes the frame's matched points)
