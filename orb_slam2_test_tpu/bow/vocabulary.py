@@ -258,9 +258,12 @@ def load_vocabulary_npz(path: str) -> Vocabulary:
 # packaged default artifact (trained by examples/build_vocab.py on a
 # synthetic multi-scene sweep with this framework's own BRIEF pattern —
 # the reference's ORBvoc.txt is semantically incompatible with it).
-# Analog of the reference shipping Vocabulary/ORBvoc.txt.tar.gz.
+# Analog of the reference shipping Vocabulary/ORBvoc.txt.tar.gz: the
+# default is the k=10 L=6 tree (~794k leaf words, matching the
+# reference's ~1M-word ORBvoc scale); the smaller L5 artifact remains
+# packaged for memory-constrained runs.
 DEFAULT_VOCABULARY_PATH = os.path.join(
-    os.path.dirname(__file__), "..", "data", "vocab_k10_L5.npz"
+    os.path.dirname(__file__), "..", "data", "vocab_k10_L6.npz"
 )
 
 

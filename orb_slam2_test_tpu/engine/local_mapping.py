@@ -654,27 +654,30 @@ def fuse_round(
     rep = jnp.arange(P, dtype=jnp.int32).at[
         jnp.where(c_mask, loser, P)
     ].set(winner, mode="drop")
-    linked = m.kf_pt_idx >= 0
-    new_idx = jnp.where(linked, rep[jnp.clip(m.kf_pt_idx, 0)],
-                        m.kf_pt_idx)
-    # adopts (fresh links; not subject to replace)
-    new_row_new = jnp.where(adopt_f, q_f, new_idx[kf_new])
-    new_idx = new_idx.at[kf_new].set(new_row_new)
-    for b in range(B):  # static unroll, [N]-sized writes
-        r = jnp.where(adopt_r[b], q_r[b], new_idx[nb[b]])
-        r = jnp.where(nbr_ok[b], r, new_idx[nb[b]])
-        new_idx = new_idx.at[nb[b]].set(r)
-
     lose_mask = jnp.zeros((P,), bool).at[
         jnp.where(c_mask, loser, P)
     ].set(True, mode="drop")
     # a "winner" that also lost a different conflict is dead: links to
-    # it are dropped by the dangling sweep
+    # it must drop. Folding that dangling sweep INTO the replace table
+    # (rep2[p] = -1 when the replacement target is itself dead) halves
+    # the [K, N] map-wide gather count of this pass from 2 to 1.
     pt_valid = m.pt_valid & ~lose_mask
-    dangling = jnp.where(
-        new_idx >= 0, ~pt_valid[jnp.clip(new_idx, 0)], False
+    rep2 = jnp.where(pt_valid[jnp.clip(rep, 0)], rep, -1)
+    linked = m.kf_pt_idx >= 0
+    new_idx = jnp.where(linked, rep2[jnp.clip(m.kf_pt_idx, 0)],
+                        m.kf_pt_idx)
+    # adopts — routed through rep2 too: an adopted point that lost a
+    # conflict elsewhere in this pass follows to its winner (or drops
+    # if the target itself died)
+    new_row_new = jnp.where(
+        adopt_f, rep2[jnp.clip(q_f, 0)], new_idx[kf_new]
     )
-    new_idx = jnp.where(dangling, -1, new_idx)
+    new_idx = new_idx.at[kf_new].set(new_row_new)
+    for b in range(B):  # static unroll, [N]-sized writes
+        r = jnp.where(adopt_r[b], rep2[jnp.clip(q_r[b], 0)],
+                      new_idx[nb[b]])
+        r = jnp.where(nbr_ok[b], r, new_idx[nb[b]])
+        new_idx = new_idx.at[nb[b]].set(r)
     n_erased = jnp.sum(lose_mask & m.pt_valid).astype(jnp.int32)
     m2 = m._replace(
         kf_pt_idx=new_idx, pt_valid=pt_valid, n_pt=m.n_pt - n_erased
@@ -686,11 +689,15 @@ def fuse_round(
         jnp.where(lose_mask, obs_counts, 0), mode="drop"
     )
     new_obs = jnp.where(lose_mask, 0, new_obs)
+    tgt_f = rep2[jnp.clip(q_f, 0)]
     new_obs = new_obs.at[
-        jnp.where(adopt_f, jnp.clip(q_f, 0), P)
+        jnp.where(adopt_f & (tgt_f >= 0), jnp.clip(tgt_f, 0), P)
     ].add(1, mode="drop")
+    tgt_r = rep2[jnp.clip(q_r, 0)]
     new_obs = new_obs.at[
-        jnp.where(adopt_r, jnp.clip(q_r, 0), P).reshape(-1)
+        jnp.where(
+            adopt_r & (tgt_r >= 0), jnp.clip(tgt_r, 0), P
+        ).reshape(-1)
     ].add(1, mode="drop")
     n = jnp.sum(c_mask) + jnp.sum(adopt_f) + jnp.sum(adopt_r)
     return m2, n, new_obs

@@ -206,10 +206,10 @@ def test_loop_candidate_query_scales_to_1000_kfs():
 
 
 def test_default_vocabulary_artifact():
-    """The packaged vocabulary (reference: Vocabulary/ORBvoc.txt) must
-    load fast, have >= 50k words (k=10, L=5 — VERDICT round 1 flagged
-    the 10k-word default as too coarse), and discriminate: descriptors
-    from different synthetic scenes spread over many distinct words."""
+    """The packaged vocabulary (reference: Vocabulary/ORBvoc.txt,
+    ~1M words at k=10 L=6) must load fast, match the reference's scale
+    (>= 500k words), and discriminate: descriptors from different
+    synthetic scenes spread over many distinct words."""
     import time
 
     import jax.numpy as jnp
@@ -223,8 +223,8 @@ def test_default_vocabulary_artifact():
     voc = default_vocabulary()
     load_s = time.time() - t0
     assert load_s < 5.0, f"vocabulary load took {load_s:.1f}s"
-    assert voc.n_words >= 50_000
-    assert voc.k == 10 and voc.depth == 5
+    assert voc.n_words >= 500_000
+    assert voc.k == 10 and voc.depth == 6
 
     rng = np.random.default_rng(11)
     desc = rng.integers(0, 2**32, size=(2000, 8), dtype=np.uint32)

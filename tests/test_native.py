@@ -48,3 +48,33 @@ def test_native_parser_rejects_garbage(tmp_path):
     with open(p, "w") as f:
         f.write("")
     assert parse_vocab_text(p) is None
+
+
+@pytest.mark.slow
+def test_native_parser_reference_scale_roundtrip(tmp_path):
+    """DBoW2-text round trip at the reference's vocabulary scale
+    (~794k leaf words, ~90 MB of text — Vocabulary/ORBvoc.txt is
+    ~145 MB): the shipped L6 artifact serializes to text and the C++
+    mmap parser reproduces it exactly."""
+    from orb_slam2_test_tpu.bow.vocabulary import default_vocabulary
+
+    if load_native("vocab_loader") is None:
+        pytest.skip("no C++ toolchain in this environment")
+    voc = default_vocabulary()
+    assert voc.n_words >= 500_000
+    p = str(tmp_path / "voc_l6.txt")
+    save_text_vocabulary(voc, p)
+    import os
+    import time
+
+    t0 = time.time()
+    v_c = load_text_vocabulary(p)
+    load_s = time.time() - t0
+    for f in FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(v_c, f)), np.asarray(getattr(voc, f)), f
+        )
+    # the reference's text parse of ORBvoc.txt takes 10-20 s; the mmap
+    # C++ parser must stay well under that at comparable scale
+    sz_mb = os.path.getsize(p) / 1e6
+    assert load_s < 20.0, f"{sz_mb:.0f} MB parse took {load_s:.1f}s"
