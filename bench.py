@@ -16,6 +16,16 @@ Also reported (extra): the legacy mono 640x480/1000-feature fps vs the
 reference's ~30 Hz, keyframe-insert cost, and a roofline account (FLOP
 and HBM-byte utilization from XLA cost analysis vs chip peaks).
 
+Comparability notes across rounds:
+- r2 -> r3 mono fps fell 712 -> ~355 because r2's programs ran TPU
+  matmuls as single bf16 MXU passes — fast and WRONG (~0.2 m pose
+  quantization at KITTI world scale; commit 9c3fc00 wrapped the
+  geometry entry points in f32_matmuls). The r3+ numbers are the
+  correct-numerics ones.
+- r4 splits device time from tunnel end-to-end explicitly (the r3
+  numbers mixed ~27-30 ms/sync of tunnel latency into per-frame
+  figures).
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 """
@@ -167,7 +177,7 @@ def _kitti_chain(n_steps: int, with_kf: bool):
                 m, _, _, _, bm = jax.lax.cond(
                     (i % KF_EVERY) == (KF_EVERY - 1),
                     lambda m, bm: _grow_map_device(
-                        cam, cfg, m, frame, Tcw_l, new_feat,
+                        cam, cfg, m, bm, frame, Tcw_l, new_feat,
                         jnp.float32(0.0), i, cd, True, True,
                     ),
                     lambda m, bm: (
@@ -266,10 +276,17 @@ def bench_kitti_stereo():
     )
     cd = jnp.float32(cfg.th_depth * KITTI_CAM.baseline)
 
+    from orb_slam2_test_tpu.slam_map.covisibility import (
+        build_observer_bitmap as _bob,
+    )
+
+    bm_g = jax.jit(_bob)(m0)
+
     def grow():
         return _grow_map_device(
-            KITTI_CAM, cfg, m0, frame, T0, feat0, jnp.float32(0.0),
-            jnp.asarray(99, jnp.int32), cd, True, True,
+            KITTI_CAM, cfg, m0, bm_g, frame, T0, feat0,
+            jnp.float32(0.0), jnp.asarray(99, jnp.int32), cd, True,
+            True,
         )
 
     out = grow()

@@ -41,6 +41,11 @@ def _tracker_overrides(f, close_pts: bool) -> None:
     f.write("Tracker.minInitMatches: 60\n")
     f.write("Tracker.minInitTriangulated: 40\n")
     f.write("Tracker.minLocalInliers: 20\n")
+    # synthetic textures decay fast with viewpoint (planar quads under
+    # affine warp): relocalization after a blackout only works if the
+    # nearest keyframe is a few frames away, so cap the KF interval
+    # tighter than the reference's fps default
+    f.write("Tracker.maxFramesBetweenKF: 5\n")
     if close_pts:
         f.write("Tracker.minDepthInitPoints: 150\n")
 

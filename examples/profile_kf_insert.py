@@ -82,12 +82,17 @@ def main():
     cd = jnp.float32(cfg.th_depth * cam.baseline)
     kf = jnp.asarray(100, jnp.int32)
 
+    from orb_slam2_test_tpu.slam_map.covisibility import (
+        build_observer_bitmap,
+    )
+
+    obs_bm = jax.jit(build_observer_bitmap)(m)
     out = {}
 
     # whole pipeline (the production program)
     out["total_grow_map"] = time_fn(
         lambda: _grow_map_device(
-            cam, cfg, m, frame, Tcw, feat0, jnp.float32(0.0),
+            cam, cfg, m, obs_bm, frame, Tcw, feat0, jnp.float32(0.0),
             jnp.asarray(99, jnp.int32), cd, True, True,
         )
     )

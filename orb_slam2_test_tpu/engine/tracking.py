@@ -484,8 +484,9 @@ def _add_depth_points_body(cam, cfg, m, frame, kf_i, close_depth,
 @functools.partial(
     jax.jit, static_argnames=("cam", "cfg", "use_depth", "close_gate")
 )
-def _grow_map_device(cam, cfg, m, frame, Tcw, feat_pt, timestamp,
-                     frame_id, close_depth, use_depth, close_gate):
+def _grow_map_device(cam, cfg, m, obs_bm_in, frame, Tcw, feat_pt,
+                     timestamp, frame_id, close_depth, use_depth,
+                     close_gate):
     """The whole keyframe-insertion pipeline as ONE device program:
     add keyframe + spanning-tree parent + depth-point insertion +
     triangulation with covisible neighbors + duplicate fusion + landmark
@@ -524,11 +525,20 @@ def _grow_map_device(cam, cfg, m, frame, Tcw, feat_pt, timestamp,
         m = _add_depth_points_body(
             cam, cfg, m, frame, kf, close_depth, close_gate
         )
-    # point->observer bitmap + the new keyframe's covisibility row,
-    # computed ONCE and threaded through parent assignment +
-    # triangulation-neighbor selection (each used to recompute the
-    # same [K, N] reduction)
-    obs_bm = build_observer_bitmap(m)
+    # point->observer bitmap for parent assignment + triangulation-
+    # neighbor selection: PATCH the tracker's carried bitmap (fresh as
+    # of the previous insert's full rebuild) with the new keyframe's
+    # column instead of paying a full [K, N] rebuild here — at most one
+    # insert's worth of detach staleness, same tolerance as the
+    # reference's not-yet-refreshed covisibility lists. The column is
+    # cleared first (slot recycling after a cull could leave a dead
+    # occupant's bits).
+    P_cap = m.pt_valid.shape[0]
+    row_new = m.kf_pt_idx[kf]
+    obs_bm = obs_bm_in.at[:, kf].set(0)
+    obs_bm = obs_bm.at[
+        jnp.where(row_new >= 0, row_new, P_cap), kf
+    ].set(1, mode="drop")
     w_row = covis_row_from_bitmap(m, obs_bm, kf)
     m = assign_parent(m, kf, covis_row=w_row)
     _w, ids = jax.lax.top_k(w_row, cfg.n_triangulate_neighbors)
@@ -1447,7 +1457,7 @@ class Tracker:
         # the scalar results (kf id, culled id) are not synced until the
         # NEXT keyframe decision needs them (flush_backend above).
         m, kf, culled, n_pt_after, obs_bm = _grow_map_device(
-            self.cam, self.cfg, self.map, frame,
+            self.cam, self.cfg, self.map, self._obs_bitmap(), frame,
             jnp.asarray(self.last_Tcw), self.cur_feat_pt,
             jnp.asarray(frame.timestamp, jnp.float32),
             jnp.asarray(self.frame_id, jnp.int32),
