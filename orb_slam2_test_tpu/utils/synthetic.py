@@ -273,12 +273,15 @@ def make_loop_scene(
         [r * np.cos(th), y, r * np.sin(th)], axis=1
     ).astype(np.float32)
     # quad normal: face the point on the path from which the quad is
-    # typically SEEN — ~20 degrees of arc behind its own angular
+    # typically SEEN — ~20 METERS of arc behind its own angular
     # position (the camera travels counter-clockwise looking along the
     # tangent). Purely radial normals leave every quad nearly edge-on
     # to the camera, which smears the texture with viewpoint and makes
-    # descriptors decay as the camera advances.
-    th_view = th - 0.35
+    # descriptors decay as the camera advances. The offset must be in
+    # arc length, not a fixed angle: a fixed 0.35 rad put the viewpoint
+    # 38 m back at radius 110, rendering whole arc segments edge-on
+    # (feature counts collapsed to ~300/2000 and tracking died).
+    th_view = th - 20.0 / max(radius, 1.0)
     viewpoint = np.stack(
         [
             radius * np.cos(th_view),
